@@ -15,8 +15,14 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
+
+    documents -> P2 normalize -> F1 tokenize -> J8 gazetteer broadcast
+    join -> sentence co-occurrence triples, counted per (subj,pred,obj).
+    """
+    from neuroner_spark.plans.flagship import flagship
+
+    return flagship(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

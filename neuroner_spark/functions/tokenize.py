@@ -1,0 +1,104 @@
+"""Deterministic sentence segmentation + tokenization (SURVEY.md F1/W5).
+
+Reference parity: ``src/brat_to_conll.py ::
+get_sentences_and_tokens_from_spacy`` (≈L20–45) emits, per document,
+sentences of tokens each carrying its char offset (`token.idx`).  The
+sandbox has no spaCy, and at 100 TB a C-extension NLP pipeline per row
+is the wrong shape anyway; we use a pinned, pure-regex tokenizer whose
+output is a deterministic function of the text bytes (the golden-file
+tests in tests/test_tokenize.py freeze it).
+
+Design for scale:
+- ONE Arrow-batched pandas UDF per document batch returning
+  ``array<struct<sent_id,pos,token,start,end>>``; then a JVM-side
+  ``posexplode``.  No per-row Python, no driver collect.
+- Offsets are char offsets into the (length-preserving normalized)
+  document text, half-open [start, end) — the P4 invariant
+  ``substring(text, start+1, end-start) == token`` holds by
+  construction and is asserted in tests.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Pinned token pattern: word runs | single non-space punctuation.
+TOKEN_RE = re.compile(r"\w+|[^\w\s]", re.UNICODE)
+# Sentence boundary: ., !, ? followed by whitespace (or end).
+SENT_END = {".", "!", "?"}
+
+TOKEN_STRUCT = T.StructType(
+    [
+        T.StructField("sent_id", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+    ]
+)
+
+
+def tokenize_text(text: str) -> list[tuple[int, int, str, int, int]]:
+    """Pure function: text -> [(sent_id, pos, token, start, end)].
+
+    A sentence ends at a '.', '!' or '?' token; position counters reset.
+    Deterministic, offset-exact, unicode-aware (\\w covers letters and
+    digits in any script).
+    """
+    out: list[tuple[int, int, str, int, int]] = []
+    sent_id = 0
+    pos = 0
+    for m in TOKEN_RE.finditer(text):
+        tok = m.group(0)
+        out.append((sent_id, pos, tok, m.start(), m.end()))
+        if tok in SENT_END:
+            sent_id += 1
+            pos = 0
+        else:
+            pos += 1
+    return out
+
+
+def _tokenize_batches(
+    batches: Iterator[pd.DataFrame],
+) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        rows = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            if text is None:
+                continue
+            for sent_id, pos, tok, s, e in tokenize_text(text):
+                rows.append((doc_id, sent_id, pos, tok, s, e))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "sent_id", "pos", "token", "start", "end"]
+        )
+
+
+TOKENS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType(), False),
+        T.StructField("sent_id", T.LongType(), False),
+        T.StructField("pos", T.IntegerType(), False),
+        T.StructField("token", T.StringType(), False),
+        T.StructField("start", T.LongType(), False),
+        T.StructField("end", T.LongType(), False),
+    ]
+)
+
+
+def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """docs(id, text) -> tokens(doc_id, sent_id, pos, token, start, end).
+
+    Input is projected to exactly two columns before the UDF stage so
+    parquet column pruning applies and Arrow batches stay small.
+    """
+    narrow = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
+    )
+    return narrow.mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)

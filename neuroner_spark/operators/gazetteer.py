@@ -1,0 +1,98 @@
+"""Gazetteer mention matching via broadcast n-gram join (SURVEY.md J8,
+milestone 0 stand-in for the neural tagger).
+
+Spark-first shape: build token n-grams (n=1..MAX_N) per sentence with
+``lead()`` windows (one shuffle on (doc_id, sent_id), shared with every
+other sentence-window op in the stage), normalize the n-gram surface,
+then BROADCAST hash join against the alias dictionary — the dictionary
+is the small side by construction (dictionaries are ~10^6 rows; pages
+are ~10^12).  Overlapping matches resolve longest-match-first, then
+leftmost (deterministic).
+
+No Python UDFs anywhere in this operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.normalize import surface_norm
+
+MAX_N = 3
+
+
+def ngram_candidates(tokens: DataFrame, max_n: int = MAX_N) -> DataFrame:
+    """tokens -> candidate n-grams (doc_id, sent_id, pos, n, surface,
+    surface_norm, start, end) for n = 1..max_n within each sentence."""
+    w = Window.partitionBy("doc_id", "sent_id").orderBy("pos")
+    df = tokens
+    for i in range(1, max_n):
+        df = df.withColumn(f"_tok{i}", F.lead("token", i).over(w)).withColumn(
+            f"_end{i}", F.lead("end", i).over(w)
+        )
+    grams = []
+    for n in range(1, max_n + 1):
+        toks = [F.col("token")] + [F.col(f"_tok{i}") for i in range(1, n)]
+        end_col = F.col("end") if n == 1 else F.col(f"_end{n-1}")
+        grams.append(
+            F.when(
+                toks[-1].isNotNull(),
+                F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", *toks).alias("surface"),
+                    end_col.alias("g_end"),
+                ),
+            )
+        )
+    exploded = (
+        df.withColumn("_grams", F.array(*grams))
+        .select(
+            "doc_id",
+            "sent_id",
+            "pos",
+            "start",
+            F.explode("_grams").alias("g"),
+        )
+        .filter(F.col("g").isNotNull())
+        .select(
+            "doc_id",
+            "sent_id",
+            "pos",
+            F.col("g.n").alias("n"),
+            F.col("g.surface").alias("surface"),
+            "start",
+            F.col("g.g_end").alias("end"),
+        )
+    )
+    return exploded.withColumn("surface_norm", surface_norm(F.col("surface")))
+
+
+def match_mentions(tokens: DataFrame, alias_dict: DataFrame, max_n: int = MAX_N) -> DataFrame:
+    """tokens × alias_dict -> mentions(doc_id, sent_id, pos, n, surface,
+    surface_norm, start, end) — longest-match-first, non-overlapping
+    within a sentence (greedy left-to-right like the reference's
+    dictionary annotators).
+    """
+    cands = ngram_candidates(tokens, max_n)
+    aliases = alias_dict.select("alias_norm").distinct()
+    hits = cands.join(F.broadcast(aliases), cands.surface_norm == aliases.alias_norm, "inner").drop(
+        aliases.alias_norm
+    )
+    # Longest-match semantics, fully relational and deterministic:
+    # (1) at each start pos keep only the longest hit;
+    # (2) drop hits strictly contained in a longer hit that starts
+    #     earlier in the same sentence.
+    w_pos = Window.partitionBy("doc_id", "sent_id", "pos").orderBy(F.desc("n"))
+    longest = hits.withColumn("_rn", F.row_number().over(w_pos)).filter(F.col("_rn") == 1).drop("_rn")
+    a = longest.alias("a")
+    b = longest.alias("b")
+    contained = a.join(
+        b,
+        (F.col("a.doc_id") == F.col("b.doc_id"))
+        & (F.col("a.sent_id") == F.col("b.sent_id"))
+        & (F.col("b.pos") < F.col("a.pos"))
+        & (F.col("b.pos") + F.col("b.n") >= F.col("a.pos") + F.col("a.n")),
+        "left_semi",
+    ).select("doc_id", "sent_id", "pos")
+    return longest.join(contained, ["doc_id", "sent_id", "pos"], "left_anti")
