@@ -25,13 +25,22 @@ def entry(spark: SparkSession) -> DataFrame:
     return flagship(spark, "/root/testdata/sf0.001")
 
 
+def _registry() -> dict[str, tuple]:
+    """name -> (spark_fn, oracle_sql_or_None), merged from the catalogs."""
+    from neuroner_spark.plans import catalog_relational
+
+    merged: dict[str, tuple] = {}
+    merged.update(catalog_relational.QUERIES)
+    return merged
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2.
 
     Each callable takes (spark, sf_dir) and returns a DataFrame.
     Alias every computed/aggregate column so names match ``oracle_sql``.
     """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -41,4 +50,4 @@ def oracle_sql() -> dict[str, str]:
     embeddings). Omit for non-SQL-expressible ops → driver records a
     weaker rows-only check.
     """
-    return {}
+    return {name: sql for name, (_fn, sql) in _registry().items() if sql is not None}

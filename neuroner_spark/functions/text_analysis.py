@@ -1,0 +1,102 @@
+"""Text analytics for training-data pipelines: quality scoring,
+language-ID heuristic, token counting, fingerprinting (SURVEY.md §2
+extension set; all JVM-side column expressions — no Python).
+
+These run per-document at 10^12 scale, so each one is a narrow
+projection over a single parquet scan: no shuffles, no UDFs, full
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# ASCII-pinned token pattern — identical semantics in Spark (Java regex)
+# and DuckDB (RE2), used wherever an oracle compares token counts.
+ASCII_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
+
+# Tiny pinned stopword lists per language (deterministic lang-ID heuristic).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
+    "de": ["der", "die", "das", "und", "zu", "ist", "nicht", "ein", "mit", "auf"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
+    "fr": ["le", "la", "de", "et", "les", "des", "un", "est", "que", "pour"],
+}
+
+
+def ws_tokens(text: Column) -> Column:
+    """Whitespace tokenization (split on single space — parity-pinned)."""
+    return F.split(text, " ")
+
+
+def n_ws_tokens(text: Column) -> Column:
+    return F.size(ws_tokens(text))
+
+
+def n_regex_tokens(text: Column) -> Column:
+    """BPE-ish regex token count (ASCII-pinned for oracle parity)."""
+    return F.size(F.regexp_extract_all(text, F.lit(ASCII_TOKEN_RE), 0))
+
+
+def avg_token_len(text: Column) -> Column:
+    toks = ws_tokens(text)
+    total = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    return F.when(F.size(toks) > 0, total.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def punct_ratio(text: Column) -> Column:
+    """Fraction of chars that are ASCII punctuation."""
+    n_punct = F.length(F.regexp_replace(text, r"[^!-/:-@\[-`{-~]", ""))
+    return F.when(F.length(text) > 0, n_punct.cast("double") / F.length(text)).otherwise(F.lit(0.0))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    toks = ws_tokens(F.lower(text))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.when(F.size(toks) > 0, hits.cast("double") / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: length band + punctuation band
+    + stopword presence. Deterministic and monotone-documented."""
+    n = n_ws_tokens(text)
+    len_ok = F.when((n >= 10) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(text) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    sw_ok = F.when(stopword_ratio(text, "en") > 0.01, F.lit(1.0)).otherwise(F.lit(0.0))
+    return F.round((len_ok + punct_ok + sw_ok) / 3.0, 6)
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    """Stopword-overlap score per language (n-gram-free heuristic that
+    is exactly reproducible in ANSI SQL)."""
+    toks = ws_tokens(F.lower(text))
+    out = []
+    for lang, words in STOPWORDS.items():
+        sw = F.array(*[F.lit(w) for w in words])
+        out.append((lang, F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))))
+    return out
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the lowercase, whitespace-collapsed
+    text (exact-dedup key; md5 is identical in Spark and DuckDB)."""
+    norm = F.trim(F.regexp_replace(F.lower(text), r"\s+", " "))
+    return F.md5(norm)
+
+
+def hash64(col: Column, salt: int = 0) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5, parsed
+    base-16. Used for shingle/simhash parity with DuckDB
+    (xxhash64 would be Spark-only)."""
+    salted = F.concat(F.lit(f"{salt}:"), col) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
+
+
+def hash28(col: Column, salt: int = 0) -> Column:
+    """28-bit variant (first 7 hex chars) for universal-hash arithmetic
+    (a*x+b mod p): keeps a*x within int64 under ANSI mode (Spark 4
+    default) and within DuckDB BIGINT."""
+    salted = F.concat(F.lit(f"{salt}:"), col) if salt else col
+    return F.conv(F.substring(F.md5(salted), 1, 7), 16, 10).cast("long")

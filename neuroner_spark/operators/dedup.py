@@ -1,0 +1,207 @@
+"""Document deduplication operators: exact, n-gram Jaccard, MinHash
+banding, SimHash (SURVEY.md extension set for training-data pipelines).
+
+Scale notes (the whole point of these shapes):
+- Exact dedup: one hash-groupBy on a 16-byte key — the cheapest
+  possible shuffle; dominated by the parquet scan.
+- Shingle/MinHash/SimHash all use the engine-portable ``hash64``
+  (md5-prefix) so every stage has a DuckDB-oracle twin; on a pure
+  Spark deployment swap in ``xxhash64`` (one line) for ~3× scan speed.
+- Near-dup candidate generation NEVER does an all-pairs join: pairs
+  come from equi-joins on shingle / band / simhash keys, so the
+  shuffle is proportional to (docs × shingles), not docs².
+- Frequent-shingle blowup (stopword shingles shared by millions of
+  docs) is capped by dropping shingles with document-frequency above
+  ``max_df`` — standard LSH practice and essential at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.text_analysis import fingerprint, hash28, hash64, ws_tokens
+
+# Prime 2^31-1 for the universal-hash family (a*x+b) mod p over 28-bit
+# inputs: a < 2^31, x < 2^28 keeps a*x < 2^59 — no int64 overflow under
+# Spark 4's default ANSI mode, and identical in DuckDB BIGINT math.
+PRIME_31 = (1 << 31) - 1
+# Pinned (a, b) parameters for k=8 minhash permutations (odd a's).
+MINHASH_PARAMS = [
+    (1103515245, 12345),
+    (214013, 2531011),
+    (69069, 1234567),
+    (1664525, 1013904223),
+    (22695477, 1),
+    (134775813, 1),
+    (1103515211, 777777),
+    (314159265, 2718281),
+]
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup by normalized-text fingerprint.
+    Output: (fingerprint, keep_id, n_dups) for groups with n_dups >= 1."""
+    fp = docs.select(
+        F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    return fp.groupBy("fingerprint").agg(
+        F.min("doc_id").alias("keep_id"), F.count("*").alias("n_docs")
+    )
+
+
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct word-n-gram shingles per doc: (doc_id, shingle_hash).
+
+    Built JVM-side: split -> transform over a positions sequence ->
+    explode -> distinct. No UDF.
+    """
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .select("doc_id", hash64(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def shingles28(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shingles hashed to 28 bits (for minhash universal-hash math)."""
+    toks = ws_tokens(F.lower(F.col(text_col)))
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    grams = F.transform(
+        F.sequence(F.lit(0), count - 1),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
+        .select("doc_id", hash28(F.col("shingle")).alias("shingle_hash"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    threshold: float = 0.6,
+    max_df: int = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs by exact n-gram Jaccard, candidates from a
+    shingle equi-join. Output: (a, b, jaccard) with a < b.
+    """
+    sh = shingles(docs, n, id_col, text_col).cache()
+    df_counts = sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
+    sh_f = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_hash", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    a = sh_f.select(F.col("doc_id").alias("a"), "shingle_hash")
+    b = sh_f.select(F.col("doc_id").alias("b"), "shingle_hash")
+    inter = (
+        a.join(b, "shingle_hash")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    with_sizes = (
+        inter.join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n_sh", "sz_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n_sh", "sz_b"), "b")
+    )
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        with_sizes.withColumn("jaccard", F.round(jac, 6))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """k=8 MinHash signature per doc: (doc_id, h0..h7).
+
+    One groupBy computes all k mins (map-side partial agg does the
+    heavy lifting — the shuffle carries k longs per doc).
+    """
+    sh = shingles28(docs, n, id_col, text_col)
+    aggs = [
+        F.min((F.col("shingle_hash") * F.lit(a % PRIME_31) + F.lit(b)) % F.lit(PRIME_31)).alias(f"h{i}")
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: band the k=8 signature into
+    ``bands`` bands of 2 rows, equi-join on (band_id, band_hash).
+    Output: (a, b, n_bands_matched) with a < b."""
+    sig = minhash_signatures(docs, n, id_col, text_col)
+    rows_per_band = len(MINHASH_PARAMS) // bands
+    band_structs = []
+    for bi in range(bands):
+        cols = [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
+        band_structs.append(
+            F.struct(F.lit(bi).alias("band_id"), hash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
+        )
+    banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bd")).select(
+        "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
+    )
+    a = banded.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    b = banded.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """SimHash over whitespace tokens: per bit, sign of the sum of
+    (2*bit-1) across token hashes. Output: (doc_id, simhash:long).
+
+    Shape: tokens -> explode bits (docs × tokens × bits rows, bits is
+    small) -> one groupBy(doc). All JVM-side.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
+    ).select("doc_id", hash64(F.col("token")).alias("th"))
+    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
+    per_bit = toks.select(
+        "doc_id",
+        F.explode(bit_ids).alias("bit"),
+        F.col("th"),
+    ).select(
+        "doc_id",
+        "bit",
+        (F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("contrib"),
+    )
+    return (
+        per_bit.groupBy("doc_id", "bit")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
+            ).alias("simhash")
+        )
+    )
+
+
+def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Near-dup buckets: docs sharing an identical simhash."""
+    sh = simhash(docs, bits, id_col, text_col)
+    return (
+        sh.groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
+        .filter(F.col("n_docs") > 1)
+    )

@@ -1,0 +1,143 @@
+"""Evaluation metrics as relational aggregations (SURVEY.md A3–A6).
+
+Reference parity:
+- A5 ``src/conlleval`` (Perl, ~315 LoC) invoked from
+  ``src/evaluate.py :: evaluate_model`` — phrase-level per-type and
+  overall precision/recall/FB1.  Re-expressed as: span extraction on
+  gold and pred (operators/spans.py, conlleval chunk-start semantics)
+  → full outer join on (doc, sent, start, end, type) → conditional
+  counts.  No Perl, no subprocess, fully distributed.
+- A3 confusion matrix = groupBy(gold, pred).count().
+- A4 per-class token P/R/F1 with the three eval modes of
+  ``src/evaluate.py :: remap_labels`` (bio | token | binary).
+- A6 token accuracy.
+
+All metrics are exact (no sampling); at 10^12 rows they are one
+shuffle each on small key spaces.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.tags import tag_type
+from neuroner_spark.operators.spans import extract_spans
+
+
+def _prf(tp, fp, fn):
+    precision = F.when(tp + fp > 0, tp / (tp + fp)).otherwise(F.lit(0.0))
+    recall = F.when(tp + fn > 0, tp / (tp + fn)).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (precision + recall) > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    return precision, recall, f1
+
+
+def conlleval_f1(
+    tokens: DataFrame, gold_col: str = "gold", pred_col: str = "pred"
+) -> DataFrame:
+    """A5: phrase-level P/R/F1 per entity type plus an 'ALL' row.
+
+    tokens: (doc_id, sent_id, pos, token, start, end, <gold>, <pred>).
+    Output: (type, tp, fp, fn, precision, recall, f1) — floats rounded
+    to 6 decimals for cross-engine determinism.
+    """
+    gold_spans = extract_spans(tokens, label_col=gold_col).select(
+        "doc_id", "sent_id", "start", "end", "type"
+    )
+    pred_spans = extract_spans(tokens, label_col=pred_col).select(
+        "doc_id", "sent_id", "start", "end", "type"
+    )
+    g = gold_spans.withColumn("_g", F.lit(1))
+    p = pred_spans.withColumn("_p", F.lit(1))
+    matched = g.join(p, ["doc_id", "sent_id", "start", "end", "type"], "full_outer")
+    per_type = matched.groupBy("type").agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_g").isNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    )
+    overall = matched.agg(
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(F.col("_g").isNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    ).select(F.lit("ALL").alias("type"), "tp", "fp", "fn")
+    counts = per_type.unionByName(overall)
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision, recall, f1 = _prf(tp, fp, fn)
+    return counts.select(
+        "type",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def confusion_matrix(tokens: DataFrame, gold_col: str = "gold", pred_col: str = "pred") -> DataFrame:
+    """A3: (gold, pred, n) counts."""
+    return (
+        tokens.groupBy(F.col(gold_col).alias("gold"), F.col(pred_col).alias("pred"))
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def remap_labels(col, mode: str):
+    """A4 eval modes (reference ``src/evaluate.py :: remap_labels``):
+    bio -> unchanged; token -> strip BIOES prefix; binary -> ENT/O."""
+    if mode == "bio":
+        return col
+    if mode == "token":
+        return tag_type(col)
+    if mode == "binary":
+        return F.when(col == "O", F.lit("O")).otherwise(F.lit("ENT"))
+    raise ValueError(mode)
+
+
+def token_prf(tokens: DataFrame, gold_col: str = "gold", pred_col: str = "pred", mode: str = "token") -> DataFrame:
+    """A4: per-class token-level P/R/F1 under an eval mode."""
+    df = tokens.select(
+        remap_labels(F.col(gold_col), mode).alias("gold"),
+        remap_labels(F.col(pred_col), mode).alias("pred"),
+    )
+    # One big-data pass -> tiny confusion matrix; per-class counts are
+    # derived from it (no class × token blow-up at scale).
+    conf = df.groupBy("gold", "pred").agg(F.count("*").alias("n"))
+    as_gold = conf.groupBy(F.col("gold").alias("cls")).agg(
+        F.sum(F.when(F.col("pred") == F.col("gold"), F.col("n")).otherwise(0)).alias("tp_g"),
+        F.sum(F.when(F.col("pred") != F.col("gold"), F.col("n")).otherwise(0)).alias("fn"),
+    )
+    as_pred = conf.groupBy(F.col("pred").alias("cls")).agg(
+        F.sum(F.when(F.col("gold") != F.col("pred"), F.col("n")).otherwise(0)).alias("fp"),
+    )
+    per_cls = (
+        as_gold.join(as_pred, "cls", "full_outer")
+        .filter(F.col("cls") != "O")
+        .select(
+            "cls",
+            F.coalesce("tp_g", F.lit(0)).alias("tp"),
+            F.coalesce("fp", F.lit(0)).alias("fp"),
+            F.coalesce("fn", F.lit(0)).alias("fn"),
+        )
+    )
+    tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
+    precision, recall, f1 = _prf(tp, fp, fn)
+    return per_cls.select(
+        "cls",
+        tp.cast("long").alias("tp"),
+        fp.cast("long").alias("fp"),
+        fn.cast("long").alias("fn"),
+        F.round(precision, 6).alias("precision"),
+        F.round(recall, 6).alias("recall"),
+        F.round(f1, 6).alias("f1"),
+    )
+
+
+def token_accuracy(tokens: DataFrame, gold_col: str = "gold", pred_col: str = "pred") -> DataFrame:
+    """A6: overall token accuracy."""
+    return tokens.agg(
+        F.round(F.avg((F.col(gold_col) == F.col(pred_col)).cast("double")), 6).alias("accuracy"),
+        F.count("*").alias("n_tokens"),
+    )

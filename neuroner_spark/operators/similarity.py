@@ -1,0 +1,116 @@
+"""Similarity search over embedding columns (SURVEY.md extension set).
+
+- ``cosine_topk``: brute-force exact top-k — baseline.  The dot
+  products are JVM-side (``zip_with`` + ``aggregate``) so the scan
+  stays in whole-stage codegen; the top-k is a window rank, never a
+  driver-side sort of the full cross product.
+- ``knn_join_topk``: k-NN for MANY query vectors at once — broadcast
+  the (small) query set, one pass over the corpus.
+- ``lsh_bucket_pairs``: random-hyperplane LSH — the scale path: docs²
+  becomes an equi-join on (plane-sign bucket).  Hyperplane components
+  are a deterministic integer formula so the DuckDB oracle can
+  reproduce them exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
+    """Exact top-k cosine neighbors of one corpus vector.
+    Output: (vec_id, cos_sim) — rounded for cross-engine parity."""
+    q = embeddings.filter(F.col("vec_id") == query_id).select(
+        F.col("embedding").alias("q_emb")
+    )
+    scored = (
+        embeddings.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != query_id)
+        .select(
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def knn_join_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Top-k corpus neighbors per query vector.
+
+    queries: (q_id, embedding) — MUST be broadcastable (the usual
+    shape: a batch of probe vectors vs a huge corpus).
+    Output: (q_id, vec_id, cos_sim, rank).
+    """
+    q = queries.select(F.col("q_id"), F.col("embedding").alias("q_emb"))
+    scored = corpus.crossJoin(F.broadcast(q)).select(
+        "q_id",
+        "vec_id",
+        F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hyperplane(plane_id: int, dim: int):
+    """Deterministic pseudo-random hyperplane as a Column:
+    h[j] = ((plane_id*dim + j) * 2654435761 mod 1000)/500 - 1
+    — reproducible in ANSI SQL (the Knuth multiplier stays < 2^63)."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda j: (
+            ((F.lit(plane_id * dim) + j) * F.lit(2654435761) % F.lit(1000)).cast("double")
+            / F.lit(500.0)
+            - F.lit(1.0)
+        ),
+    )
+
+
+def lsh_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
+    """Random-hyperplane signature: sign bit per plane packed to a long.
+    Output: (vec_id, sig)."""
+    sig = F.lit(0).cast("long")
+    for p in range(n_planes):
+        bit = F.when(_dot(F.col("embedding"), hyperplane(p, dim)) > 0, F.lit(1 << p).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sig = sig + bit
+    return embeddings.select("vec_id", sig.alias("sig"))
+
+
+def lsh_bucket_pairs(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, min_cos: float = 0.9) -> DataFrame:
+    """ANN candidate pairs: same LSH bucket, verified by exact cosine.
+    Output: (a, b, cos_sim) with a < b and cos_sim >= min_cos."""
+    sig = lsh_signatures(embeddings, n_planes, dim)
+    with_emb = sig.join(embeddings.select("vec_id", "embedding"), "vec_id")
+    a = with_emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"), "sig")
+    b = with_emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"), "sig")
+    pairs = a.join(b, "sig").filter(F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "a",
+            "b",
+            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+        .distinct()
+    )

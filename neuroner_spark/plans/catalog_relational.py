@@ -1,0 +1,444 @@
+"""Oracle-checked relational operator catalog (SURVEY.md §2 —
+joins/aggs/windows/sorts/sets/scalar fns over the driver star schema).
+
+Each entry: a PySpark implementation (spark, sf_dir) -> DataFrame and
+an equivalent DuckDB SQL string. Column names/types are pinned on both
+sides; floats are rounded identically for value-hash parity.
+
+Scale notes are attached per query — these aren't toy translations:
+each one demonstrates the plan shape (broadcast vs shuffle, pushdown,
+partial agg) we'd want at 10^12 rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --- A1/A4: TPC-H-Q1-style pricing summary (partial agg + tiny key space)
+def q_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") < "1998-09-01")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+SQL_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_discount), 4) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+# --- J1: snowflake broadcast joins (dims broadcast; fact never shuffles)
+def q_region_acctbal(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+    )
+
+
+SQL_REGION_ACCTBAL = """
+SELECT r_name, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+"""
+
+
+# --- J3: left semi (EXISTS)
+def q_customers_with_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+SQL_CUSTOMERS_WITH_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers
+FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --- J4: left anti (NOT EXISTS)
+def q_customers_without_orders(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
+    )
+
+
+SQL_CUSTOMERS_WITHOUT_ORDERS = """
+SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+# --- J5: range join with an equi anchor (doc-equi key keeps it a hash join)
+def q_shipped_within_30d(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .filter(
+            (F.col("l_shipdate") >= F.col("o_orderdate"))
+            & (F.col("l_shipdate") <= F.date_add(F.col("o_orderdate"), 30))
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+        )
+    )
+
+
+SQL_SHIPPED_WITHIN_30D = """
+SELECT o_orderpriority, count(*) AS n_lineitems,
+       round(sum(l_extendedprice), 2) AS total_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= o_orderdate AND l_shipdate <= o_orderdate + INTERVAL 30 DAY
+GROUP BY o_orderpriority
+"""
+
+
+# --- J7: left outer join + null handling
+def q_part_order_stats(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        p.join(li, p.p_partkey == li.l_partkey, "left_outer")
+        .groupBy("p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_lineitems"),
+            F.sum(F.when(F.col("l_orderkey").isNull(), 1).otherwise(0)).cast("long").alias("n_unsold_rows"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )
+
+
+SQL_PART_ORDER_STATS = """
+SELECT p_brand, count(l_orderkey) AS n_lineitems,
+       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unsold_rows,
+       round(coalesce(sum(l_quantity), 0.0), 2) AS total_qty
+FROM part LEFT JOIN lineitem ON p_partkey = l_partkey
+GROUP BY p_brand
+"""
+
+
+# --- W1-analog: running sum window
+def q_running_user_value(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+    )
+
+
+SQL_RUNNING_USER_VALUE = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+FROM events
+"""
+
+
+# --- W2/W3-analog: lead/lag
+def q_event_transitions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type").over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+SQL_EVENT_TRANSITIONS = """
+SELECT cur, nxt, count(*) AS n FROM (
+  SELECT user_id, event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events
+) WHERE nxt IS NOT NULL GROUP BY cur, nxt
+"""
+
+
+# --- W4-analog: gap sessionization
+def q_user_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    with_flag = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = with_flag.withColumn(
+        "sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return (
+        sess.groupBy("user_id", "sess_id")
+        .agg(F.count("*").alias("n_events"))
+        .groupBy("user_id")
+        .agg(
+            F.count("*").cast("long").alias("n_sessions"),
+            F.max("n_events").cast("long").alias("max_session_events"),
+        )
+    )
+
+
+SQL_USER_SESSIONS = """
+WITH flagged AS (
+  SELECT user_id, event_id, ts,
+         CASE WHEN epoch(ts) - epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), sess AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, sess_id, count(*) AS n_events FROM sess GROUP BY user_id, sess_id
+)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(max(n_events) AS BIGINT) AS max_session_events
+FROM per_sess GROUP BY user_id
+"""
+
+
+# --- O1/O4: top-k per group
+def q_top3_orders_per_customer(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank")
+    )
+
+
+SQL_TOP3_ORDERS_PER_CUSTOMER = """
+SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders
+) WHERE rank <= 3
+"""
+
+
+# --- rollup / cube (free Spark built-ins, exposed for coverage)
+def q_rollup_docs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.rollup("lang", "source").agg(F.count("*").alias("n"))
+
+
+SQL_ROLLUP_DOCS = "SELECT lang, source, count(*) AS n FROM documents GROUP BY ROLLUP(lang, source)"
+
+
+def q_cube_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    bucketed = ev.withColumn("user_bucket", (F.col("user_id") % 5).cast("long"))
+    return cubed(bucketed)
+
+
+def cubed(bucketed):
+    return bucketed.cube("event_type", "user_bucket").agg(
+        F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+
+
+SQL_CUBE_EVENTS = """
+SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY CUBE(event_type, (CAST(user_id % 5 AS BIGINT)))
+"""
+
+
+# --- U2/U3: set ops
+def q_nations_intersect(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+SQL_NATIONS_INTERSECT = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def q_nations_except(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    # EXCEPT (distinct semantics) = DataFrame.subtract; exceptAll would
+    # keep per-occurrence leftovers, which SQL EXCEPT does not.
+    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
+        s.select(F.col("s_nationkey").alias("nationkey"))
+    )
+
+
+SQL_NATIONS_EXCEPT = """
+SELECT c_nationkey AS nationkey FROM customer
+EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+# --- distinct aggregation
+def q_distinct_users(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
+# --- F9: JSON props extraction
+def q_json_props(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
+        .groupBy("event_type")
+        .agg(
+            F.round(F.avg("k"), 4).alias("avg_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type,
+       round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --- F8: date_trunc partitioning key
+def q_events_per_day(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+    )
+
+
+SQL_EVENTS_PER_DAY = """
+SELECT date_trunc('day', ts) AS day, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY date_trunc('day', ts)
+"""
+
+
+# --- O1: frequency-ordered vocabulary with stable index assignment
+def q_vocab_freq(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("idx", F.row_number().over(w).cast("long"))
+
+
+SQL_VOCAB_FREQ = """
+SELECT token, cnt, row_number() OVER (ORDER BY cnt DESC, token ASC) AS idx FROM (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+)
+"""
+
+
+# --- P3: rare-token -> UNK remap
+def q_rare_token_unk(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
+    remapped = counts.select(
+        F.when(F.col("cnt") < 5, F.lit("_UNK_")).otherwise(F.col("token")).alias("token2"),
+        "cnt",
+    )
+    return remapped.groupBy("token2").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
+SQL_RARE_TOKEN_UNK = """
+WITH counts AS (
+  SELECT token, count(*) AS cnt FROM (
+    SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  ) GROUP BY token
+)
+SELECT CASE WHEN cnt < 5 THEN '_UNK_' ELSE token END AS token2,
+       CAST(sum(cnt) AS BIGINT) AS cnt
+FROM counts GROUP BY 1
+"""
+
+
+QUERIES = {
+    "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "region_acctbal": (q_region_acctbal, SQL_REGION_ACCTBAL),
+    "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
+    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "shipped_within_30d": (q_shipped_within_30d, SQL_SHIPPED_WITHIN_30D),
+    "part_order_stats": (q_part_order_stats, SQL_PART_ORDER_STATS),
+    "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
+    "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
+    "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
+    "top3_orders_per_customer": (q_top3_orders_per_customer, SQL_TOP3_ORDERS_PER_CUSTOMER),
+    "rollup_docs": (q_rollup_docs, SQL_ROLLUP_DOCS),
+    "cube_events": (q_cube_events, SQL_CUBE_EVENTS),
+    "nations_intersect": (q_nations_intersect, SQL_NATIONS_INTERSECT),
+    "nations_except": (q_nations_except, SQL_NATIONS_EXCEPT),
+    "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
+    "json_props": (q_json_props, SQL_JSON_PROPS),
+    "events_per_day": (q_events_per_day, SQL_EVENTS_PER_DAY),
+    "vocab_freq": (q_vocab_freq, SQL_VOCAB_FREQ),
+    "rare_token_unk": (q_rare_token_unk, SQL_RARE_TOKEN_UNK),
+}
