@@ -56,12 +56,7 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     Built JVM-side: split -> transform over a positions sequence ->
     explode -> distinct. No UDF.
     """
-    toks = ws_tokens(F.lower(F.col(text_col)))
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
-    grams = F.transform(
-        F.sequence(F.lit(0), count - 1),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    grams = _gram_array(text_col, n)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .select("doc_id", hash64(F.col("shingle")).alias("shingle_hash"))
@@ -69,14 +64,21 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     )
 
 
-def shingles28(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Shingles hashed to 28 bits (for minhash universal-hash math)."""
+def _gram_array(text_col: str, n: int):
+    """array of word-n-gram strings; empty for docs with < n tokens
+    (guarded: Spark sequence(0, -1) would DESCEND, not be empty)."""
     toks = ws_tokens(F.lower(F.col(text_col)))
-    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    count = F.size(toks) - F.lit(n - 1)
     grams = F.transform(
         F.sequence(F.lit(0), count - 1),
         lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
     )
+    return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
+
+
+def shingles28(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Shingles hashed to 28 bits (for minhash universal-hash math)."""
+    grams = _gram_array(text_col, n)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .select("doc_id", hash28(F.col("shingle")).alias("shingle_hash"))

@@ -1,0 +1,300 @@
+"""Oracle-checked text-pipeline catalog: quality scoring, language-ID,
+token counting, fingerprinting, dedup (exact / n-gram Jaccard /
+MinHash / SimHash) and embedding similarity search.
+
+These are the training-data-pipeline operators (SURVEY.md §2 extension
+set). Every hash is the md5-prefix ``hash64``/``hash28`` so DuckDB can
+reproduce it bit-for-bit; on a Spark-only deployment swap xxhash64 in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.text_analysis import (
+    STOPWORDS,
+    avg_token_len,
+    fingerprint,
+    lang_scores,
+    n_regex_tokens,
+    n_ws_tokens,
+    punct_ratio,
+    quality_score,
+    stopword_ratio,
+)
+from neuroner_spark.operators.dedup import (
+    exact_dedup,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from neuroner_spark.operators.similarity import cosine_topk, knn_join_topk, lsh_signatures
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+# --- text quality profile (per doc; all JVM expressions, single scan)
+def q_text_quality(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    return d.select(
+        "doc_id",
+        n_ws_tokens(F.col("text")).cast("long").alias("n_tokens"),
+        n_regex_tokens(F.col("text")).cast("long").alias("n_rtokens"),
+        F.round(avg_token_len(F.col("text")), 6).alias("avg_tok_len"),
+        F.round(punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(F.col("text"), "en"), 6).alias("sw_ratio_en"),
+        quality_score(F.col("text")).alias("quality"),
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH base AS (
+  SELECT doc_id, text,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS n_rtokens,
+         length(replace(text, ' ', '')) AS n_chars_nospace,
+         length(regexp_replace(text, '[^!-/:-@\\[-`{-~]', '', 'g')) AS n_punct,
+         length(text) AS n_chars,
+         len(list_filter(string_split(lower(text), ' '),
+             t -> list_contains(['the','a','of','and','to','in','is','it','that','for'], t))) AS n_sw
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_rtokens AS BIGINT) AS n_rtokens,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_chars_nospace AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS avg_tok_len,
+       round(CASE WHEN n_chars > 0 THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END, 6) AS punct_ratio,
+       round(CASE WHEN n_tokens > 0 THEN CAST(n_sw AS DOUBLE) / n_tokens ELSE 0.0 END, 6) AS sw_ratio_en,
+       round(((CASE WHEN n_tokens BETWEEN 10 AND 5000 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_chars > 0 AND CAST(n_punct AS DOUBLE)/n_chars < 0.2 THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN n_tokens > 0 AND CAST(n_sw AS DOUBLE)/n_tokens > 0.01 THEN 1.0 ELSE 0.0 END)) / 3.0, 6) AS quality
+FROM base
+"""
+
+
+# --- language-ID heuristic: stopword-overlap scores -> confusion vs tagged lang
+def q_lang_id(spark, sf_dir):
+    d = _docs(spark, sf_dir)
+    scores = {lang: score for lang, score in lang_scores(F.col("text"))}
+    guess = (
+        F.when(
+            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+    return (
+        d.select(F.col("lang"), guess.alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def _sw_list(lang):
+    return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+SQL_LANG_ID = f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('en')}, t))) AS s_en,
+         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('de')}, t))) AS s_de,
+         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('es')}, t))) AS s_es,
+         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('fr')}, t))) AS s_fr
+  FROM documents
+)
+SELECT lang,
+       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
+            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
+            WHEN s_es >= s_fr THEN 'es'
+            ELSE 'fr' END AS guess,
+       count(*) AS n
+FROM scored GROUP BY 1, 2
+"""
+
+
+# --- exact dedup by md5 fingerprint
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint,
+       min(doc_id) AS keep_id, count(*) AS n_docs
+FROM documents GROUP BY 1
+"""
+
+
+# --- n-gram Jaccard near-dup pairs (shingle equi-join, never all-pairs)
+def q_dedup_jaccard(spark, sf_dir):
+    return ngram_jaccard_pairs(_docs(spark, sf_dir), n=3, threshold=0.05, max_df=10000)
+
+
+SQL_DEDUP_JACCARD = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle_hash
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+           i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingle
+    FROM toks WHERE len(l) >= 3
+  )
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS n_inter
+  FROM sh x JOIN sh y ON x.shingle_hash = y.shingle_hash AND x.doc_id < y.doc_id
+  GROUP BY 1, 2
+)
+SELECT a, b, round(CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
+"""
+
+
+# --- MinHash signatures (k=8 universal hashes over 28-bit shingle hashes)
+def q_minhash_signatures(spark, sf_dir):
+    return minhash_signatures(_docs(spark, sf_dir), n=3)
+
+
+def _minhash_sql():
+    from neuroner_spark.operators.dedup import MINHASH_PARAMS, PRIME_31
+
+    mins = ",\n         ".join(
+        f"CAST(min((shingle_hash * {a % PRIME_31} + {b}) % {PRIME_31}) AS BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS shingle_hash
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+           i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingle
+    FROM toks WHERE len(l) >= 3
+  )
+)
+SELECT doc_id,
+         {mins}
+FROM sh GROUP BY doc_id
+"""
+
+
+# --- SimHash (16-bit) per doc
+def q_simhash(spark, sf_dir):
+    return simhash(_docs(spark, sf_dir), bits=16)
+
+
+SQL_SIMHASH = """
+WITH th AS (
+  SELECT doc_id,
+         CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS th
+  FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
+), bits AS (
+  SELECT doc_id, bit, sum(((th >> bit) & 1) * 2 - 1) AS s
+  FROM th, (SELECT unnest(range(0, 16)) AS bit)
+  GROUP BY doc_id, bit
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+FROM bits GROUP BY doc_id
+"""
+
+
+# --- brute-force cosine top-k (query = corpus vector 0)
+def q_knn_cosine(spark, sf_dir):
+    return cosine_topk(_emb(spark, sf_dir), query_id=0, k=10)
+
+
+SQL_KNN_COSINE = """
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = 0),
+expanded AS (
+  SELECT e.vec_id,
+         unnest(e.embedding)::DOUBLE AS a,
+         unnest(q.q_emb)::DOUBLE AS b
+  FROM embeddings e, q WHERE e.vec_id <> 0
+), dots AS (
+  SELECT vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+  FROM expanded GROUP BY vec_id
+)
+SELECT vec_id, cos_sim, rank FROM (
+  SELECT vec_id, round(dot / (na * nb), 6) AS cos_sim,
+         row_number() OVER (ORDER BY round(dot / (na * nb), 6) DESC, vec_id ASC) AS rank
+  FROM dots
+) WHERE rank <= 10
+"""
+
+
+# --- k-NN join: top-5 per query vector (queries broadcast)
+def q_knn_join(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    return knn_join_topk(corpus, queries, k=5)
+
+
+SQL_KNN_JOIN = """
+WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings WHERE vec_id < 3),
+expanded AS (
+  SELECT q.q_id, e.vec_id,
+         unnest(e.embedding)::DOUBLE AS a,
+         unnest(q.q_emb)::DOUBLE AS b
+  FROM embeddings e, q WHERE e.vec_id >= 3
+), dots AS (
+  SELECT q_id, vec_id, sum(a*b) AS dot, sqrt(sum(a*a)) AS na, sqrt(sum(b*b)) AS nb
+  FROM expanded GROUP BY q_id, vec_id
+)
+SELECT q_id, vec_id, cos_sim, rank FROM (
+  SELECT q_id, vec_id, round(dot / (na * nb), 6) AS cos_sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY round(dot / (na * nb), 6) DESC, vec_id ASC) AS rank
+  FROM dots
+) WHERE rank <= 5
+"""
+
+
+# --- random-hyperplane LSH signatures (the ANN scale path's bucketing)
+def q_lsh_signatures(spark, sf_dir):
+    return lsh_signatures(_emb(spark, sf_dir), n_planes=8, dim=64)
+
+
+SQL_LSH_SIGNATURES = """
+WITH expanded AS (
+  SELECT vec_id, p.plane,
+         unnest(embedding)::DOUBLE AS a,
+         unnest(list_transform(range(0, 64),
+            j -> ((p.plane * 64 + j) * 2654435761 % 1000) / 500.0 - 1.0)) AS h
+  FROM embeddings, (SELECT unnest(range(0, 8)) AS plane) p
+), dots AS (
+  SELECT vec_id, plane, sum(a * h) AS dot FROM expanded GROUP BY vec_id, plane
+)
+SELECT vec_id,
+       CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS sig
+FROM dots GROUP BY vec_id
+"""
+
+
+QUERIES = {
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
+    "simhash": (q_simhash, SQL_SIMHASH),
+    "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
+    "knn_join": (q_knn_join, SQL_KNN_JOIN),
+    "lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),
+}
