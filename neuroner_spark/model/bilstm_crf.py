@@ -1,0 +1,131 @@
+"""Batched numpy BiLSTM-CRF forward + Viterbi decode (SURVEY.md F7/W6).
+
+Reference parity: ``src/entity_lstm.py`` builds the same network in TF
+(char Bi-LSTM 25 → concat token embedding 100 → token Bi-LSTM 100 →
+tanh FF 100 → class scores C+2 → CRF) and decodes with
+``tf.contrib.crf.viterbi_decode`` one sentence at a time
+(``src/train.py :: prediction_step``).  The reference's batch size is
+1; this module is the engine's main perf win: every op is batched
+across ALL sentences in an Arrow batch ([B,T,...] arrays), and the
+Viterbi DP loops over time only — never over sentences.
+
+Pure numpy, no Spark imports — unit-testable in isolation and callable
+from the mapInPandas tagger (model/tagger.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from neuroner_spark.model.weights import END, N_CLASSES, START
+
+
+def _sigmoid(x):
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _lstm(x, lengths, W, U, b, hidden, reverse=False):
+    """Batched single-direction LSTM.
+
+    x: [B,T,D] float32; lengths: [B] int; returns h_seq [B,T,H] (zeros
+    past each length) and h_last [B,H] (state at the last valid step).
+    Gate packing order: i, f, g, o (pinned; golden tests freeze it).
+    """
+    B, T, _ = x.shape
+    h = np.zeros((B, hidden), dtype=np.float32)
+    c = np.zeros((B, hidden), dtype=np.float32)
+    h_seq = np.zeros((B, T, hidden), dtype=np.float32)
+    h_last = np.zeros((B, hidden), dtype=np.float32)
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        z = x[:, t, :] @ W + h @ U + b
+        i = _sigmoid(z[:, :hidden])
+        f = _sigmoid(z[:, hidden : 2 * hidden])
+        g = np.tanh(z[:, 2 * hidden : 3 * hidden])
+        o = _sigmoid(z[:, 3 * hidden :])
+        c_new = f * c + i * g
+        h_new = o * np.tanh(c_new)
+        # mask: only update rows whose sequence covers step t
+        if reverse:
+            valid = (lengths > t)[:, None]
+        else:
+            valid = (t < lengths)[:, None]
+        c = np.where(valid, c_new, c)
+        h = np.where(valid, h_new, h)
+        h_seq[:, t, :] = np.where(valid, h_new, 0.0)
+        if reverse:
+            at_last = (t == 0) & (lengths > 0)
+        else:
+            at_last = lengths == (t + 1)
+        h_last[at_last] = h_new[at_last]
+    return h_seq, h_last
+
+
+def char_encode(char_ids, word_lengths, arrays):
+    """char_ids: [N,W] int (N words, W max chars); word_lengths: [N].
+    Returns [N, 2*CHAR_HIDDEN] (fw last ++ bw last) — the reference's
+    character Bi-LSTM word encoding (entity_lstm.py ≈L20–90)."""
+    emb = arrays["char_emb"][char_ids]  # [N,W,25]
+    _, fw_last = _lstm(emb, word_lengths, arrays["char_lstm_fw_W"], arrays["char_lstm_fw_U"], arrays["char_lstm_fw_b"], 25)
+    _, bw_last = _lstm(emb, word_lengths, arrays["char_lstm_bw_W"], arrays["char_lstm_bw_U"], arrays["char_lstm_bw_b"], 25, reverse=True)
+    return np.concatenate([fw_last, bw_last], axis=1)
+
+
+def forward_scores(token_ids, char_ids, lengths, word_lengths, arrays):
+    """Full forward pass.
+
+    token_ids: [B,T]; char_ids: [B,T,W]; lengths: [B] (tokens per
+    sentence); word_lengths: [B,T] (chars per token).
+    Returns unary scores [B,T,C+2] float32.
+    """
+    B, T = token_ids.shape
+    W = char_ids.shape[2]
+    char_feat = char_encode(
+        char_ids.reshape(B * T, W), word_lengths.reshape(B * T), arrays
+    ).reshape(B, T, -1)
+    tok_emb = arrays["token_emb"][token_ids]  # [B,T,100]
+    x = np.concatenate([tok_emb, char_feat], axis=2)  # [B,T,150]
+    fw_seq, _ = _lstm(x, lengths, arrays["token_lstm_fw_W"], arrays["token_lstm_fw_U"], arrays["token_lstm_fw_b"], 100)
+    bw_seq, _ = _lstm(x, lengths, arrays["token_lstm_bw_W"], arrays["token_lstm_bw_U"], arrays["token_lstm_bw_b"], 100, reverse=True)
+    h = np.concatenate([fw_seq, bw_seq], axis=2)  # [B,T,200]
+    ff = np.tanh(h @ arrays["ff_W"] + arrays["ff_b"])  # [B,T,100]
+    return ff @ arrays["out_W"] + arrays["out_b"]  # [B,T,C+2]
+
+
+def viterbi_decode(scores, lengths, transitions):
+    """Batched Viterbi with start/end augmentation (reference
+    ``tf.contrib.crf.viterbi_decode`` semantics, one DP over max-T for
+    the whole batch).
+
+    scores: [B,T,C+2]; lengths: [B]; transitions: [C+2,C+2].
+    Returns label ids [B,T] int32 (zeros past each length).
+    """
+    B, T, S = scores.shape
+    C = N_CLASSES
+    neg = np.float32(-1e30)
+    # restrict to real classes; start/end handled via transition rows
+    delta = np.full((B, C), neg, dtype=np.float32)
+    delta = scores[:, 0, :C] + transitions[START, :C][None, :]
+    backp = np.zeros((B, T, C), dtype=np.int32)
+    for t in range(1, T):
+        # cand[b, prev, cur] = delta[b, prev] + trans[prev, cur]
+        cand = delta[:, :, None] + transitions[:C, :C][None, :, :]
+        best_prev = cand.argmax(axis=1)  # [B, C]
+        new_delta = cand.max(axis=1) + scores[:, t, :C]
+        active = (t < lengths)[:, None]
+        delta = np.where(active, new_delta, delta)
+        backp[:, t, :] = np.where(active, best_prev, 0)
+    # end augmentation + backtrack (per sentence — cheap: O(B*T))
+    final = delta + transitions[:C, END][None, :]
+    out = np.zeros((B, T), dtype=np.int32)
+    last = final.argmax(axis=1)
+    for b in range(B):
+        L = int(lengths[b])
+        if L == 0:
+            continue
+        cur = int(last[b])
+        out[b, L - 1] = cur
+        for t in range(L - 1, 0, -1):
+            cur = int(backp[b, t, cur])
+            out[b, t - 1] = cur
+    return out

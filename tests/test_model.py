@@ -1,0 +1,155 @@
+"""Model unit tests: shapes, masking, Viterbi correctness, determinism,
+and the distributed tagger end-to-end (golden-hash frozen)."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from neuroner_spark.model import bilstm_crf as M
+from neuroner_spark.model.weights import (
+    END,
+    LABELS,
+    N_CLASSES,
+    START,
+    build_vocab,
+    load_bundle,
+    make_bundle,
+    save_bundle,
+)
+
+
+def _bundle(vocab_tokens=("alpha", "beta", "gamma")):
+    return make_bundle({t: i + 1 for i, t in enumerate(vocab_tokens)}, seed=42)
+
+
+def test_weights_deterministic():
+    b1, b2 = _bundle(), _bundle()
+    for k in b1["arrays"]:
+        assert np.array_equal(b1["arrays"][k], b2["arrays"][k])
+
+
+def test_save_load_roundtrip(tmp_path):
+    b = _bundle()
+    save_bundle(b, str(tmp_path / "m"))
+    b2 = load_bundle(str(tmp_path / "m"))
+    for k in b["arrays"]:
+        assert np.array_equal(b["arrays"][k], b2["arrays"][k])
+    assert b2["vocab"] == b["vocab"] and b2["labels"] == b["labels"]
+
+
+def test_selective_reload(tmp_path):
+    b = _bundle()
+    save_bundle(b, str(tmp_path / "m"))
+    base = make_bundle({"alpha": 1, "beta": 2, "gamma": 3}, seed=7)
+    merged = load_bundle(str(tmp_path / "m"), {"crf_transitions": False}, base)
+    assert np.array_equal(merged["arrays"]["crf_transitions"], base["arrays"]["crf_transitions"])
+    assert np.array_equal(merged["arrays"]["ff_W"], b["arrays"]["ff_W"])
+
+
+def test_lstm_masking():
+    """Padded steps must not change h_last."""
+    rng = np.random.default_rng(0)
+    W = rng.normal(0, 0.1, (4, 12)).astype(np.float32)
+    U = rng.normal(0, 0.1, (3, 12)).astype(np.float32)
+    b = np.zeros(12, dtype=np.float32)
+    x_short = rng.normal(0, 1, (1, 2, 4)).astype(np.float32)
+    x_padded = np.concatenate([x_short, rng.normal(0, 1, (1, 3, 4)).astype(np.float32)], axis=1)
+    _, last_short = M._lstm(x_short, np.array([2]), W, U, b, 3)
+    _, last_padded = M._lstm(x_padded, np.array([2]), W, U, b, 3)
+    np.testing.assert_allclose(last_short, last_padded, rtol=1e-6)
+    # reverse direction: padding after the length must not matter either
+    _, rlast_short = M._lstm(x_short, np.array([2]), W, U, b, 3, reverse=True)
+    _, rlast_padded = M._lstm(x_padded, np.array([2]), W, U, b, 3, reverse=True)
+    np.testing.assert_allclose(rlast_short, rlast_padded, rtol=1e-6)
+
+
+def _brute_viterbi(scores, trans):
+    """Exhaustive best path for one sentence (small T, C)."""
+    import itertools
+
+    T_, C = scores.shape[0], N_CLASSES
+    best, best_score = None, -np.inf
+    for path in itertools.product(range(C), repeat=T_):
+        s = trans[START, path[0]] + scores[0, path[0]]
+        for t in range(1, T_):
+            s += trans[path[t - 1], path[t]] + scores[t, path[t]]
+        s += trans[path[-1], END]
+        if s > best_score:
+            best_score, best = s, path
+    return list(best)
+
+
+def test_viterbi_matches_bruteforce():
+    rng = np.random.default_rng(3)
+    # tiny label space for brute force: zero out all but first 3 classes
+    trans = rng.normal(0, 1, (N_CLASSES + 2, N_CLASSES + 2)).astype(np.float32)
+    for T_ in (1, 2, 3):
+        scores = np.full((1, T_, N_CLASSES + 2), -1e30, dtype=np.float32)
+        scores[0, :, :3] = rng.normal(0, 1, (T_, 3)).astype(np.float32)
+        got = M.viterbi_decode(scores, np.array([T_]), trans)[0, :T_].tolist()
+        want = _brute_viterbi(scores[0], trans)
+        assert got == want
+
+
+def test_viterbi_batch_equals_single():
+    """Batched DP must equal per-sentence decodes (incl. ragged lengths)."""
+    rng = np.random.default_rng(5)
+    trans = rng.normal(0, 1, (N_CLASSES + 2, N_CLASSES + 2)).astype(np.float32)
+    lengths = np.array([3, 1, 5, 2])
+    scores = rng.normal(0, 1, (4, 5, N_CLASSES + 2)).astype(np.float32)
+    batch = M.viterbi_decode(scores, lengths, trans)
+    for b in range(4):
+        L = lengths[b]
+        single = M.viterbi_decode(scores[b : b + 1, :L], np.array([L]), trans)
+        assert batch[b, :L].tolist() == single[0, :L].tolist()
+
+
+def test_forward_batch_invariance():
+    """Same sentence alone vs inside a ragged batch -> same scores."""
+    b = _bundle()
+    tok = np.array([[1, 2, 3]])
+    chars = np.zeros((1, 3, 20), dtype=np.int64)
+    chars[0, :, 0] = [97, 98, 99]
+    wl = np.array([[1, 1, 1]])
+    s_single = M.forward_scores(tok, chars, np.array([3]), wl, b["arrays"])
+    tok2 = np.zeros((2, 5), dtype=np.int64)
+    tok2[0, :3] = [1, 2, 3]
+    chars2 = np.zeros((2, 5, 20), dtype=np.int64)
+    chars2[0, :3, 0] = [97, 98, 99]
+    wl2 = np.zeros((2, 5), dtype=np.int64)
+    wl2[0, :3] = 1
+    s_batch = M.forward_scores(tok2, chars2, np.array([3, 0]), wl2, b["arrays"])
+    np.testing.assert_allclose(s_single[0], s_batch[0, :3], rtol=1e-5, atol=1e-6)
+
+
+def test_tagger_end_to_end(spark):
+    """Distributed tag over the pages fixture: deterministic output,
+    stable across two runs, valid schema, full coverage."""
+    from neuroner_spark.fixtures.gen import pages_df
+    from neuroner_spark.functions.normalize import normalize_whitespace
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.model.tagger import tag_tokens
+    from pyspark.sql import functions as F
+
+    pages = pages_df(spark, 60).select(
+        F.col("url").alias("doc_id"), normalize_whitespace(F.col("text")).alias("text")
+    )
+    tokens = tokenize(pages)
+    vocab = build_vocab([r["token"] for r in tokens.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    tagged = tag_tokens(spark, tokens, bundle, n_partitions=8)
+    rows = tagged.orderBy("doc_id", "sent_id", "pos").collect()
+    assert len(rows) == tokens.count()
+    assert all(r["label"] in LABELS for r in rows)
+    # determinism: second run identical
+    rows2 = tag_tokens(spark, tokens, bundle, n_partitions=4).orderBy(
+        "doc_id", "sent_id", "pos"
+    ).collect()
+    assert [r["label"] for r in rows] == [r["label"] for r in rows2]
+    digest = hashlib.md5(
+        "|".join(f"{r['doc_id']}:{r['sent_id']}:{r['pos']}:{r['label']}" for r in rows).encode()
+    ).hexdigest()
+    # Golden frozen from seed-42 weights over the 60-page fixture
+    # (reference-style pretrained-model regression, src/unit_tests.py).
+    assert digest == "f89fe9e3a4a26991f68a3d94e22cc686"
