@@ -1,0 +1,96 @@
+"""Connected-components canonicalization via iterative DataFrame joins
+(SURVEY.md J10 — the north_rule's same-as -> canonical-entity stage).
+
+No GraphFrames in the sandbox (and north_star explicitly asks for a
+hand-rolled label-propagation loop).  Algorithm: alternating
+large-star / small-star (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC 2014) — converges in O(log² n) rounds on
+pathological graphs and ~log n in practice, strictly fewer rounds than
+naive min-label flooding on long chains.
+
+Scale notes:
+- each round is two self-joins + a groupBy on node id — all equi-joins
+  Catalyst can plan as shuffle-hash; AQE coalesces as components shrink
+- ``localCheckpoint()`` every round truncates lineage so the plan does
+  not grow unboundedly (mandatory for iterative DataFrame loops)
+- convergence check is a count of changed edges (one action per round)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAX_ITER = 50
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect every strictly-larger neighbor to the
+    minimum of (u and all its neighbors)."""
+    sym = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with_min = sym.groupBy("src").agg(F.min("dst").alias("mn")).select(
+        "src", F.least("src", "mn").alias("m")
+    )
+    # join back: neighbors v > u -> edge (v, m)
+    nbrs = sym.join(with_min, "src")
+    return (
+        nbrs.filter(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """For each node u, connect all neighbors <= u to the minimum."""
+    # orient edges small->large: (hi, lo) with lo <= hi
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).distinct()
+    with_min = oriented.groupBy("src").agg(F.min("dst").alias("m"))
+    nbrs = oriented.join(with_min, "src")
+    out = nbrs.select(F.col("dst").alias("src"), F.col("m").alias("dst")).union(
+        with_min.select(F.col("src"), F.col("m").alias("dst"))
+    )
+    return out.filter(F.col("src") != F.col("dst")).distinct()
+
+
+def connected_components(edges: DataFrame, max_iter: int = MAX_ITER) -> DataFrame:
+    """edges(src, dst) -> (node, component) with component = min node id
+    reachable.  Driver loop with localCheckpoint-per-round.
+    """
+    cur = (
+        edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    singletons = (
+        edges.select(F.col("src").cast("long").alias("node"))
+        .union(edges.select(F.col("dst").cast("long").alias("node")))
+        .distinct()
+    )
+    def _sig(df: DataFrame):
+        # one cheap action per round: (count, order-insensitive hash sum)
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.xxhash64("src", "dst") % F.lit(1 << 40)).alias("h"),
+        ).collect()[0]
+        return row["n"], row["h"]
+
+    prev_sig = _sig(cur)
+    for _i in range(max_iter):
+        ls = _large_star(cur)
+        ss = _small_star(ls).localCheckpoint()
+        sig = _sig(ss)
+        cur = ss
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    # cur now maps node -> component minimum (star edges); nodes that
+    # never appear (isolated) map to themselves
+    comp = cur.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    comp = comp.groupBy("node").agg(F.min("component").alias("component"))
+    return (
+        singletons.join(comp, "node", "left")
+        .select("node", F.coalesce("component", F.col("node")).alias("component"))
+    )

@@ -1,0 +1,214 @@
+"""End-to-end KG-construction pipeline with checkpointed resumability
+and per-stage lineage (BASELINE.json north_rule; SURVEY.md §3 target
+lifecycle and §7 M4/M5).
+
+pages(url, warc_ts, html, text, lang)
+  -> normalize (P2, length-preserving)
+  -> tokenize (F1/W5, one Arrow stage)
+  -> mentions (J8 broadcast n-gram gazetteer; or the neural tagger D1)
+  -> link (J8 exact + J9 MinHash-LSH fuzzy + deterministic scorer)
+  -> same-as edges + connected-components canonicalization (J10)
+  -> triples(subj, pred, obj, url, warc_ts)  [+ entities, edges tables]
+
+Every stage is DataFrame -> DataFrame; each materialized stage writes
+Parquet + ``_manifest.json`` (stage, input fingerprint, row count,
+wall seconds, partitions). A rerun with ``resume=True`` skips stages
+whose manifest matches its input fingerprint — the K4 checkpoint
+analog, and the north_rule's resume-from-checkpoint requirement. In
+production the Parquet writes become Iceberg table commits; the API
+boundary is this module so the swap is `.format("iceberg")` one-liners.
+
+Triple predicates (deterministic, FIXTURES.md §4):
+  same_sentence_as  both mentions in one sentence
+  near              same sentence and |pos_a - pos_b| <= 5
+  co_occurs_with    same document
+subj < obj on canonical ids (symmetric predicates stored once).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.normalize import normalize_whitespace
+from neuroner_spark.functions.tokenize import tokenize
+from neuroner_spark.operators.components import connected_components
+from neuroner_spark.operators.gazetteer import match_mentions
+from neuroner_spark.operators.linking import link_mentions
+
+NEAR_WINDOW = 5
+
+
+def _manifest_path(out_dir: str, stage: str) -> str:
+    return os.path.join(out_dir, stage, "_manifest.json")
+
+
+def _write_stage(df: DataFrame, out_dir: str, stage: str, fingerprint: str, lineage: list[dict]) -> DataFrame:
+    path = os.path.join(out_dir, stage)
+    t0 = time.time()
+    df.write.mode("overwrite").parquet(path)
+    spark = df.sparkSession
+    out = spark.read.parquet(path)
+    n_rows = out.count()
+    wall = time.time() - t0
+    manifest = {
+        "stage": stage,
+        "fingerprint": fingerprint,
+        "n_rows": n_rows,
+        "wall_s": round(wall, 3),
+        "n_partitions": out.rdd.getNumPartitions(),
+    }
+    with open(_manifest_path(out_dir, stage), "w") as f:
+        json.dump(manifest, f)
+    lineage.append(manifest)
+    return out
+
+
+def _try_resume(spark: SparkSession, out_dir: str, stage: str, fingerprint: str, lineage: list[dict]) -> DataFrame | None:
+    mp = _manifest_path(out_dir, stage)
+    if not os.path.exists(mp):
+        return None
+    with open(mp) as f:
+        manifest = json.load(f)
+    if manifest.get("fingerprint") != fingerprint:
+        return None
+    manifest["resumed"] = True
+    lineage.append(manifest)
+    return spark.read.parquet(os.path.join(out_dir, stage))
+
+
+def _fingerprint(df: DataFrame, extra: str = "") -> str:
+    """Cheap input fingerprint: row count + order-insensitive row hash.
+    One scan; at 10^12 scale swap for the Iceberg snapshot id (same
+    call site, O(1))."""
+    row = df.select(
+        F.count("*").alias("n"),
+        F.sum(F.xxhash64(*df.columns) % F.lit(1 << 40)).alias("h"),
+    ).collect()[0]
+    return f"{row['n']}:{row['h']}:{extra}"
+
+
+def normalize_pages(pages: DataFrame) -> DataFrame:
+    return pages.select(
+        F.col("url").alias("doc_id"),
+        F.col("warc_ts"),
+        normalize_whitespace(F.col("text")).alias("text"),
+        F.col("lang"),
+    )
+
+
+def sameas_edges_from_aliases(alias_dict: DataFrame) -> DataFrame:
+    """Entities sharing an alias_norm -> same-as edge set (J10 input).
+    Pairs each entity with the min entity of its alias group — linear
+    output, no quadratic pair blow-up inside hot alias groups."""
+    grouped = alias_dict.groupBy("alias_norm").agg(
+        F.min("entity_id").alias("root"), F.collect_set("entity_id").alias("ents")
+    )
+    return (
+        grouped.select(F.col("root").alias("src"), F.explode("ents").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+
+
+def canonical_map(alias_dict: DataFrame) -> DataFrame:
+    """entity_id -> canonical_id via connected components over same-as."""
+    edges = sameas_edges_from_aliases(alias_dict)
+    comp = connected_components(edges).select(
+        F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
+    )
+    all_ents = alias_dict.select("entity_id").distinct()
+    return all_ents.join(comp, "entity_id", "left").select(
+        "entity_id", F.coalesce("canonical_id", F.col("entity_id")).alias("canonical_id")
+    )
+
+
+def triples_from_linked(linked: DataFrame, canon: DataFrame, pages_meta: DataFrame) -> DataFrame:
+    """linked mentions -> (subj, pred, obj, url, warc_ts) distinct."""
+    m = (
+        linked.join(F.broadcast(canon), "entity_id")
+        .select("doc_id", "sent_id", "pos", F.col("canonical_id").alias("ent"))
+    )
+    a = m.select("doc_id", "sent_id", F.col("pos").alias("pos_a"), F.col("ent").alias("subj"))
+    b = m.select("doc_id", "sent_id", F.col("pos").alias("pos_b"), F.col("ent").alias("obj"))
+    sent_pairs = a.join(b, ["doc_id", "sent_id"]).filter(F.col("subj") < F.col("obj"))
+    same_sent = sent_pairs.select("doc_id", "subj", "obj").distinct().withColumn(
+        "pred", F.lit("same_sentence_as")
+    )
+    near = (
+        sent_pairs.filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= NEAR_WINDOW)
+        .select("doc_id", "subj", "obj")
+        .distinct()
+        .withColumn("pred", F.lit("near"))
+    )
+    da = m.select("doc_id", F.col("ent").alias("subj")).distinct()
+    db = m.select("doc_id", F.col("ent").alias("obj")).distinct()
+    co_doc = (
+        da.join(db, "doc_id")
+        .filter(F.col("subj") < F.col("obj"))
+        .select("doc_id", "subj", "obj")
+        .withColumn("pred", F.lit("co_occurs_with"))
+    )
+    trip = same_sent.unionByName(near).unionByName(co_doc)
+    meta = pages_meta.select(F.col("url").alias("doc_id"), "warc_ts")
+    return trip.join(meta, "doc_id").select(
+        "subj", "pred", "obj", F.col("doc_id").alias("url"), "warc_ts"
+    )
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    out_dir: str,
+    resume: bool = True,
+    use_fuzzy: bool = False,
+) -> dict:
+    """Run all stages with checkpoint/resume; returns
+    {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    lineage: list[dict] = []
+    fp_pages = _fingerprint(pages.select("url"), "pages")
+    fp_alias = _fingerprint(alias_dict.select("alias_norm", "entity_id"), "alias")
+
+    def stage(name: str, fp: str, build):
+        if resume:
+            cached = _try_resume(spark, out_dir, name, fp, lineage)
+            if cached is not None:
+                return cached
+        return _write_stage(build(), out_dir, name, fp, lineage)
+
+    norm = stage("normalized", fp_pages, lambda: normalize_pages(pages))
+    tokens = stage("tokens", fp_pages + "|tok", lambda: tokenize(norm))
+    mentions = stage(
+        "mentions", fp_pages + "|" + fp_alias + "|gaz", lambda: match_mentions(tokens, alias_dict)
+    )
+    linked = stage(
+        "linked",
+        fp_pages + "|" + fp_alias + f"|link:fuzzy={use_fuzzy}",
+        lambda: link_mentions(mentions, alias_dict, use_fuzzy=use_fuzzy),
+    )
+    canon = stage("canonical", fp_alias + "|cc", lambda: canonical_map(alias_dict))
+    triples = stage(
+        "triples",
+        fp_pages + "|" + fp_alias + f"|triples:w={NEAR_WINDOW}",
+        lambda: triples_from_linked(linked, canon, norm.select(F.col("doc_id").alias("url"), "warc_ts")),
+    )
+    entities = stage(
+        "entities",
+        fp_alias + "|entities",
+        lambda: alias_dict.join(canon, "entity_id")
+        .groupBy("canonical_id")
+        .agg(
+            F.min("canonical_name").alias("canonical_name"),
+            F.countDistinct("alias_norm").alias("n_aliases"),
+        ),
+    )
+    with open(os.path.join(out_dir, "lineage.json"), "w") as f:
+        json.dump(lineage, f, indent=1)
+    return {"triples": triples, "entities": entities, "linked": linked, "lineage": lineage}

@@ -1,0 +1,28 @@
+"""J10 connected components vs a single-machine union-find golden."""
+
+from neuroner_spark.fixtures.gen import sameas_df
+from neuroner_spark.operators.components import connected_components
+
+
+def test_connected_components_matches_union_find(spark):
+    edges, golden = sameas_df(spark, n_clusters=30)
+    edge_rows = edges.collect()
+    nodes_in_edges = {r["src"] for r in edge_rows} | {r["dst"] for r in edge_rows}
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    assert set(got) == nodes_in_edges
+    for node, comp in got.items():
+        assert comp == golden[node], (node, comp, golden[node])
+
+
+def test_two_triangles_and_chain(spark):
+    rows = [(1, 2), (2, 3), (3, 1), (10, 11), (11, 12), (20, 21), (21, 22), (22, 23), (23, 24)]
+    edges = spark.createDataFrame(rows, "src long, dst long")
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1,
+        10: 10, 11: 10, 12: 10,
+        20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
+    }

@@ -1,0 +1,104 @@
+"""North-rule pipeline tests: end-to-end triples, linking determinism,
+resume-from-checkpoint, and the P/R>=0.95 gate vs frozen goldens."""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neuroner_spark.fixtures.gen import alias_df, pages_df
+from neuroner_spark.plans.kg_pipeline import run_pipeline
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "goldens")
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("kg_out"))
+    pages = pages_df(spark, 200)
+    aliases = alias_df(spark)
+    res = run_pipeline(spark, pages, aliases, out, resume=True, use_fuzzy=False)
+    # materialize eagerly: later tests rerun the pipeline into the same
+    # dir (overwriting stage parquet under these lazy DataFrames)
+    res["triple_rows"] = res["triples"].collect()
+    res["n_entities"] = res["entities"].count()
+    return res, out, pages, aliases
+
+
+def test_triples_nonempty_and_shaped(pipeline_out):
+    res, _out, _p, _a = pipeline_out
+    assert set(res["triples"].columns) == {"subj", "pred", "obj", "url", "warc_ts"}
+    rows = res["triple_rows"]
+    assert len(rows) > 0
+    assert {r["pred"] for r in rows} <= {"same_sentence_as", "near", "co_occurs_with"}
+    assert all(r["subj"] < r["obj"] for r in rows)
+
+
+def test_canonicalization_merges_shared_aliases(pipeline_out):
+    res, _out, _p, aliases = pipeline_out
+    # ambiguous aliases exist in the fixture -> at least one merge
+    n_entities = aliases.select("entity_id").distinct().count()
+    assert res["n_entities"] < n_entities
+
+
+def test_resume_skips_stages(spark, pipeline_out):
+    res, out, pages, aliases = pipeline_out
+    res2 = run_pipeline(spark, pages, aliases, out, resume=True, use_fuzzy=False)
+    assert all(m.get("resumed") for m in res2["lineage"]), res2["lineage"]
+    # identical output after resume
+    t1 = sorted(map(tuple, res["triple_rows"]))
+    t2 = sorted(map(tuple, res2["triples"].collect()))
+    assert t1 == t2
+
+
+def test_input_change_invalidates_checkpoint(spark, pipeline_out):
+    _res, out, pages, aliases = pipeline_out
+    fewer = pages.limit(150)
+    res3 = run_pipeline(spark, fewer, aliases, out, resume=True, use_fuzzy=False)
+    # canonical stage depends only on aliases -> resumed; page stages rebuilt
+    by_stage = {m["stage"]: m for m in res3["lineage"]}
+    assert not by_stage["normalized"].get("resumed")
+    assert by_stage["canonical"].get("resumed")
+
+
+def _prf(got: set, want: set):
+    tp = len(got & want)
+    precision = tp / len(got) if got else 0.0
+    recall = tp / len(want) if want else 0.0
+    return precision, recall
+
+
+def test_triples_match_golden(pipeline_out):
+    """FIXTURES.md §4: P/R >= 0.95 vs frozen golden triples (exact ids)."""
+    res, _out, _p, _a = pipeline_out
+    got = {(r["subj"], r["pred"], r["obj"], r["url"]) for r in res["triple_rows"]}
+    golden_path = os.path.join(GOLDEN_DIR, "gold_triples.json")
+    if not os.path.exists(golden_path):
+        os.makedirs(GOLDEN_DIR, exist_ok=True)
+        with open(golden_path, "w") as f:
+            json.dump(sorted([list(t) for t in got]), f)
+        pytest.skip("golden frozen on first run")
+    with open(golden_path) as f:
+        want = {tuple(t) for t in json.load(f)}
+    precision, recall = _prf(got, want)
+    assert precision >= 0.95 and recall >= 0.95, (precision, recall)
+
+
+def test_fuzzy_linking_covers_typos(spark):
+    """J9: a typo'd mention (no exact alias) still links via MinHashLSH."""
+    from neuroner_spark.operators.linking import link_mentions
+
+    aliases = alias_df(spark)
+    mention_rows = [
+        # 'Alder Analytics' with a dropped char -> no exact match
+        ("d1", 0, 0, 2, "Aldr Analytics", "aldr analytics", 0, 14),
+    ]
+    mentions = spark.createDataFrame(
+        mention_rows,
+        "doc_id string, sent_id long, pos int, n int, surface string, surface_norm string, start long, end long",
+    )
+    linked = link_mentions(mentions, aliases, use_fuzzy=True)
+    rows = linked.collect()
+    assert len(rows) == 1
+    assert rows[0]["canonical_name"] == "Alder Analytics"
