@@ -1,0 +1,120 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Headline set: the KG pipeline (normalize -> tokenize -> gazetteer ->
+link -> canonicalize -> triples), the neural BiLSTM-CRF tagger over the
+documents corpus, and the heaviest catalog operators (sessionization,
+near-dup Jaccard, MinHash, SimHash, kNN, conlleval F1, pricing scan).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from neuroner_spark.session import get_spark
+
+    spark = get_spark(
+        "bench",
+        cores=cpus,
+        shuffle_partitions=max(int(cpus), 8) if cpus != "*" else 32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.fixtures.gen import alias_df
+    from neuroner_spark.model.weights import build_vocab, make_bundle
+    from neuroner_spark.plans import catalog_ner, catalog_relational, catalog_text
+
+    timings: dict[str, float] = {}
+
+    def timed(name: str, fn):
+        t0 = time.time()
+        n = fn()
+        timings[name] = round(time.time() - t0, 3)
+        return n
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+
+    # --- q1: full KG pipeline (gazetteer path) in memory, no sink
+    def kg_pipeline():
+        from neuroner_spark.functions.tokenize import tokenize
+        from neuroner_spark.operators.gazetteer import match_mentions
+        from neuroner_spark.operators.linking import link_mentions
+        from neuroner_spark.plans.kg_pipeline import canonical_map, triples_from_linked
+
+        aliases = alias_df(spark)
+        d = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.col("text"),
+        )
+        tokens = tokenize(d.withColumnRenamed("url", "doc_id"))
+        mentions = match_mentions(tokens, aliases)
+        linked = link_mentions(mentions, aliases, use_fuzzy=False)
+        canon = canonical_map(aliases)
+        triples = triples_from_linked(linked, canon, d)
+        return triples.count()
+
+    timed("kg_pipeline", kg_pipeline)
+
+    # --- q2: neural tagger (D1) over every sentence of the corpus
+    def neural_tagger():
+        from neuroner_spark.functions.tokenize import tokenize
+        from neuroner_spark.model.tagger import tag_tokens
+
+        tokens = tokenize(docs.select(F.col("doc_id").cast("string").alias("doc_id"), "text"))
+        vocab_rows = (
+            tokens.groupBy("token").count().orderBy(F.desc("count"), "token").limit(50000).collect()
+        )
+        vocab = {r["token"]: i + 1 for i, r in enumerate(vocab_rows)}
+        bundle = make_bundle(vocab, seed=42)
+        tagged = tag_tokens(spark, tokens, bundle)
+        return tagged.count()
+
+    timed("neural_tagger", neural_tagger)
+
+    # --- catalog heavies
+    heavies = {
+        "pricing_summary": catalog_relational.QUERIES["pricing_summary"][0],
+        "user_sessions": catalog_relational.QUERIES["user_sessions"][0],
+        "top3_orders_per_customer": catalog_relational.QUERIES["top3_orders_per_customer"][0],
+        "dedup_jaccard": catalog_text.QUERIES["dedup_jaccard"][0],
+        "minhash_signatures": catalog_text.QUERIES["minhash_signatures"][0],
+        "simhash": catalog_text.QUERIES["simhash"][0],
+        "knn_cosine": catalog_text.QUERIES["knn_cosine"][0],
+        "conlleval_f1": catalog_ner.QUERIES["conlleval_f1"][0],
+    }
+    for name, fn in heavies.items():
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
+
+    total = round(sum(timings.values()), 3)
+    out = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / timings["neural_tagger"], 2),
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -4,18 +4,21 @@ stage (SURVEY.md D1 — the core operator).
 Reference parity: ``src/train.py :: prediction_step`` feeds the TF
 graph one sentence at a time (batch size 1).  Here:
 
-- Sentences are assembled JVM-side (groupBy + sort_array(collect_list))
-  — one shuffle keyed by (doc_id, sent_id).
+- Sentences are assembled JVM-side (groupBy + sort_array(collect_list)
+  then split into parallel ``pos/token/start/end`` arrays) — one
+  shuffle keyed by (doc_id, sent_id).
 - A **salted repartition** on xxhash64(doc_id, sent_id) spreads the
   sentences of huge documents / hot hosts uniformly before the Python
   stage (north_rule skew handling: AQE fixes join skew, NOT UDF-stage
   skew — the salt is mandatory at 10^12 pages).
 - Inside the UDF each Arrow batch (thousands of sentences) is sorted
-  by length and processed in padded sub-batches, so the numpy BiLSTM
-  runs [B,T,...] tensors with minimal padding waste.
-- Weights travel once per executor via ``SparkContext.broadcast``.
+  by length and processed in padded sub-batches; encoding and output
+  assembly are numpy-vectorized (the only per-token Python is a
+  ``len()`` sweep and one pandas ``map`` for vocab lookup).
 
-No per-row Python anywhere: encode/forward/decode are whole-array ops.
+Char encoding trick: tokens -> fixed-width ``U<W>`` numpy array ->
+``view(uint32)`` gives the [N, W] codepoint matrix with zero padding,
+no per-char loop.
 """
 
 from __future__ import annotations
@@ -28,10 +31,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from neuroner_spark.model.bilstm_crf import forward_scores, viterbi_decode
+from neuroner_spark.model.bilstm_crf import char_encode, forward_scores_feat, viterbi_decode
 
 MAX_WORD_LEN = 20
-SUB_BATCH = 256
+SUB_BATCH = 512
 
 TAGGED_SCHEMA = T.StructType(
     [
@@ -46,76 +49,113 @@ TAGGED_SCHEMA = T.StructType(
 )
 
 
-def _encode_batch(sent_tokens: list[list[str]], vocab: dict[str, int]):
-    """tokens -> (token_ids [B,T], char_ids [B,T,W], lengths [B],
-    word_lengths [B,T]) — vectorized padding."""
-    B = len(sent_tokens)
-    lengths = np.array([len(s) for s in sent_tokens], dtype=np.int64)
-    Tmax = max(1, int(lengths.max()))
+def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, vocab_series_map, arrays):
+    """Vectorized encode: flat token array (all sentences concatenated)
+    + per-sentence lengths -> (token_ids [B,T], char_feat [B,T,50],
+    row_idx, col_idx).
+
+    Char features are computed ONCE PER UNIQUE WORD (the char Bi-LSTM
+    is a pure function of the surface) and scattered back — on Zipf
+    web text this removes ~99% of the char-LSTM flops vs encoding every
+    occurrence, with bit-identical results."""
+    B = len(lengths)
+    Tmax = max(1, int(lengths.max()) if B else 1)
+    N = len(flat_tokens)
+    row_idx = np.repeat(np.arange(B), lengths)
+    offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
+    col_idx = np.arange(N) - np.repeat(offsets, lengths)
+
+    ids_flat = vocab_series_map(flat_tokens)
     token_ids = np.zeros((B, Tmax), dtype=np.int64)
-    char_ids = np.zeros((B, Tmax, MAX_WORD_LEN), dtype=np.int64)
-    word_lengths = np.zeros((B, Tmax), dtype=np.int64)
-    for b, sent in enumerate(sent_tokens):
-        for t, tok in enumerate(sent):
-            token_ids[b, t] = vocab.get(tok, 0)
-            w = min(len(tok), MAX_WORD_LEN)
-            word_lengths[b, t] = w
-            for j in range(w):
-                o = ord(tok[j])
-                char_ids[b, t, j] = o if o < 128 else 0
-    return token_ids, char_ids, lengths, word_lengths
+    token_ids[row_idx, col_idx] = ids_flat
+
+    # unique words -> fixed-width unicode view -> codepoint matrix
+    uniq, inv = np.unique(flat_tokens.astype("U"), return_inverse=True)
+    u = uniq.astype(f"U{MAX_WORD_LEN}")
+    wl_u = np.char.str_len(u).astype(np.int64)  # = min(len(tok), W)
+    W_eff = max(1, int(wl_u.max()) if len(wl_u) else 1)
+    codes = u.view(np.uint32).reshape(len(u), MAX_WORD_LEN).astype(np.int64)[:, :W_eff]
+    codes[codes >= 128] = 0  # non-ascii -> padding/unk char (reference UNK char idx 0)
+    feat_u = char_encode(codes, wl_u, arrays)  # [U, 50]
+    char_feat = np.zeros((B, Tmax, feat_u.shape[1]), dtype=np.float32)
+    char_feat[row_idx, col_idx] = feat_u[inv]
+    return token_ids, char_feat, row_idx, col_idx
 
 
 def make_tag_fn(bundle_bc):
-    """Build the mapInPandas function over sentence rows
-    (doc_id, sent_id, toks: list[dict(pos, token, start, end)])."""
+    """mapInPandas fn over sentence rows
+    (doc_id, sent_id, pos_arr, token_arr, start_arr, end_arr)."""
 
     def tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bundle = bundle_bc.value
-        arrays, vocab, labels = bundle["arrays"], bundle["vocab"], bundle["labels"]
+        arrays, vocab = bundle["arrays"], bundle["vocab"]
+        labels_arr = np.asarray(bundle["labels"] + ["O", "O"], dtype=object)
+        vocab_s = pd.Series(vocab)
+
+        def vmap(flat):
+            s = pd.Series(flat, dtype=object).map(vocab_s)
+            return s.fillna(0).to_numpy(dtype=np.int64)
+
         for pdf in batches:
             if len(pdf) == 0:
                 continue
-            # sort by sentence length -> padded sub-batches waste little
-            order = np.argsort([len(t) for t in pdf["toks"]], kind="stable")
-            out_rows: list[pd.DataFrame] = []
-            for s in range(0, len(order), SUB_BATCH):
-                idx = order[s : s + SUB_BATCH]
-                sents = pdf.iloc[idx]
-                sent_tokens = [[w["token"] for w in toks] for toks in sents["toks"]]
-                token_ids, char_ids, lengths, word_lengths = _encode_batch(sent_tokens, vocab)
-                scores = forward_scores(token_ids, char_ids, lengths, word_lengths, arrays)
+            tok_lists = pdf["token_arr"].to_numpy()
+            lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists))
+            order = np.argsort(lens, kind="stable")
+            outs = []
+            for s0 in range(0, len(order), SUB_BATCH):
+                idx = order[s0 : s0 + SUB_BATCH]
+                lengths = lens[idx]
+                keep = lengths > 0
+                idx, lengths = idx[keep], lengths[keep]
+                if len(idx) == 0:
+                    continue
+                flat_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[idx]])
+                token_ids, char_feat, row_idx, col_idx = _encode_flat(
+                    flat_tokens, lengths, vmap, arrays
+                )
+                scores = forward_scores_feat(token_ids, char_feat, lengths, arrays)
                 pred = viterbi_decode(scores, lengths, arrays["crf_transitions"])
-                recs = {
-                    "doc_id": [], "sent_id": [], "pos": [], "token": [],
-                    "start": [], "end": [], "label": [],
-                }
-                for bi, (_, row) in enumerate(sents.iterrows()):
-                    for t, w in enumerate(row["toks"]):
-                        recs["doc_id"].append(row["doc_id"])
-                        recs["sent_id"].append(row["sent_id"])
-                        recs["pos"].append(w["pos"])
-                        recs["token"].append(w["token"])
-                        recs["start"].append(w["start"])
-                        recs["end"].append(w["end"])
-                        recs["label"].append(labels[pred[bi, t]])
-                out_rows.append(pd.DataFrame(recs))
-            yield pd.concat(out_rows, ignore_index=True)
+                out = pd.DataFrame(
+                    {
+                        "doc_id": np.repeat(pdf["doc_id"].to_numpy()[idx], lengths),
+                        "sent_id": np.repeat(pdf["sent_id"].to_numpy()[idx], lengths),
+                        "pos": np.concatenate(pdf["pos_arr"].to_numpy()[idx]).astype(np.int32),
+                        "token": flat_tokens,
+                        "start": np.concatenate(pdf["start_arr"].to_numpy()[idx]).astype(np.int64),
+                        "end": np.concatenate(pdf["end_arr"].to_numpy()[idx]).astype(np.int64),
+                        "label": labels_arr[pred[row_idx, col_idx]],
+                    }
+                )
+                outs.append(out)
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
 
     return tag_batches
+
+
+def sentences_from_tokens(tokens: DataFrame) -> DataFrame:
+    """tokens -> one row per sentence with parallel arrays (JVM-side)."""
+    return (
+        tokens.groupBy("doc_id", "sent_id")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("pos", "token", "start", "end"))).alias("_t")
+        )
+        .select(
+            "doc_id",
+            "sent_id",
+            F.transform("_t", lambda x: x["pos"]).alias("pos_arr"),
+            F.transform("_t", lambda x: x["token"]).alias("token_arr"),
+            F.transform("_t", lambda x: x["start"]).alias("start_arr"),
+            F.transform("_t", lambda x: x["end"]).alias("end_arr"),
+        )
+    )
 
 
 def tag_tokens(spark: SparkSession, tokens: DataFrame, bundle: dict, n_partitions: int | None = None) -> DataFrame:
     """tokens(doc_id, sent_id, pos, token, start, end) ->
     tagged(..., label) — BIOES labels from the broadcast model."""
-    sentences = (
-        tokens.groupBy("doc_id", "sent_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("pos", "token", "start", "end"))
-            ).alias("toks")
-        )
-    )
+    sentences = sentences_from_tokens(tokens)
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 2
     # salt on the sentence key: sentences of one huge doc (hot host)

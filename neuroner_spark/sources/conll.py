@@ -1,0 +1,80 @@
+"""CoNLL token-file scan (SURVEY.md S1).
+
+Reference parity: ``src/dataset.py :: Dataset._parse_dataset``
+(≈L40–110) — space-delimited token-per-line files, first column =
+token, last column = label, optional middle passthrough columns,
+blank line terminates a sentence.
+
+Spark-first shape: ``spark.read.text`` keeps the file's line order per
+partition ONLY if we make order explicit, so we read with
+``input_file_name`` + a zipWithIndex-free monotonic line number per
+file via a window over a one-pass ordering column — here we use
+``spark.read.text``'s row position within each file obtained from the
+``_metadata`` + monotonically_increasing_id pattern: mid is
+monotonically increasing WITHIN a partition and text files split by
+line ranges preserve in-file order inside each partition, so
+(file, mid) sorts lines correctly for the typical one-file-per-doc
+layout.  Sentence ids then come from a running sum over blank-line
+flags (W1), and token positions from a row_number (W5).
+
+At 10^12 scale CoNLL text is an ingest format only — the first job
+converts to the parquet token table and everything downstream reads
+that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def read_conll(spark: SparkSession, path: str) -> DataFrame:
+    """path (file/glob/dir of CoNLL text) ->
+    tokens(doc_id, sent_id, pos, token, label, extras:array<string>).
+    """
+    raw = (
+        spark.read.text(path)
+        .select(
+            F.input_file_name().alias("doc_id"),
+            F.monotonically_increasing_id().alias("line_no"),
+            F.col("value"),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("line_no")
+    flagged = raw.withColumn("is_blank", (F.trim("value") == "").cast("int")).withColumn(
+        "sent_id",
+        F.sum("is_blank").over(w_doc.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    toks = flagged.filter(F.col("is_blank") == 0).withColumn(
+        "parts", F.split(F.trim("value"), " +")
+    )
+    w_sent = Window.partitionBy("doc_id", "sent_id").orderBy("line_no")
+    return toks.select(
+        "doc_id",
+        "sent_id",
+        (F.row_number().over(w_sent) - 1).alias("pos"),
+        F.element_at("parts", 1).alias("token"),
+        F.element_at("parts", -1).alias("label"),
+        F.when(
+            F.size("parts") > 2, F.slice("parts", 2, F.size("parts") - 2)
+        ).otherwise(F.array().cast("array<string>")).alias("extras"),
+    )
+
+
+def write_conll(tokens: DataFrame, path: str, label_cols: tuple[str, ...] = ("label",)) -> None:
+    """K1 sink: render the token table back to CoNLL text lines
+    (ordered within each output file by sentence/pos; blank-line
+    sentence separators are restored by the reader's W1 inverse —
+    we emit an explicit empty line row per sentence end).
+    """
+    line = F.concat_ws(" ", F.col("token"), *[F.col(c) for c in label_cols])
+    body = tokens.select(
+        "doc_id", "sent_id", F.col("pos").cast("long").alias("ord"), line.alias("value")
+    )
+    seps = (
+        tokens.groupBy("doc_id", "sent_id")
+        .agg((F.max("pos") + 1).cast("long").alias("ord"))
+        .withColumn("value", F.lit(""))
+    )
+    out = body.unionByName(seps).orderBy("doc_id", "sent_id", "ord").select("value")
+    out.coalesce(1).write.mode("overwrite").text(path)

@@ -1,0 +1,67 @@
+"""Pretrained-embedding text scan (SURVEY.md S3).
+
+Reference parity: ``src/utils_nlp.py :: load_pretrained_token_embeddings``
+(≈L45–75) — GloVe-format lines ``token v1 ... v100`` into a token ->
+vector map, with the fallback probes of ``is_token_in_pretrained_
+embeddings`` (exact -> lowercase -> digits->0, SURVEY P1/J3).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_embedding_text(spark: SparkSession, path: str, dim: int = 100) -> DataFrame:
+    """GloVe-format text -> (token, vector:array<float>)."""
+    raw = spark.read.text(path)
+    parts = F.split(F.col("value"), " ")
+    return raw.select(
+        F.element_at(parts, 1).alias("token"),
+        F.slice(parts, 2, dim).cast("array<float>").alias("vector"),
+    ).filter(F.size("vector") == dim)
+
+
+def vocab_embedding_matrix(vocab: dict[str, int], emb_df: DataFrame) -> np.ndarray:
+    """Build the [vocab_size+1, dim] init matrix driver-side with the
+    reference's probe order (exact, lowercase, digits->0); rows with no
+    hit stay zero (the reference uses random init there — we use zeros
+    for determinism).  J2 embedding lookup then happens inside the
+    tagger UDF via fancy-indexing on the broadcast matrix."""
+    rows = {r["token"]: r["vector"] for r in emb_df.collect()}
+    dim = len(next(iter(rows.values()))) if rows else 100
+    mat = np.zeros((len(vocab) + 1, dim), dtype=np.float32)
+    import re
+
+    for tok, idx in vocab.items():
+        vec = rows.get(tok) or rows.get(tok.lower()) or rows.get(re.sub(r"\d", "0", tok.lower()))
+        if vec is not None:
+            mat[idx] = vec
+    return mat
+
+
+def pretrained_membership(vocab_df: DataFrame, emb_df: DataFrame) -> DataFrame:
+    """J3/J4: vocab tokens labeled by pretrained membership via the
+    probe chain — left semi/anti joins, fully relational."""
+    emb_tokens = emb_df.select("token").distinct()
+    exact = vocab_df.join(emb_tokens, "token", "left_semi").withColumn("probe", F.lit("exact"))
+    rest = vocab_df.join(emb_tokens, "token", "left_anti")
+    lower = (
+        rest.join(emb_tokens, F.lower(rest.token) == emb_tokens.token, "left_semi")
+        .withColumn("probe", F.lit("lower"))
+    )
+    rest2 = rest.join(emb_tokens, F.lower(rest.token) == emb_tokens.token, "left_anti")
+    digits = (
+        rest2.join(
+            emb_tokens,
+            F.regexp_replace(F.lower(rest2.token), r"\d", "0") == emb_tokens.token,
+            "left_semi",
+        ).withColumn("probe", F.lit("digits0"))
+    )
+    oov = rest2.join(
+        emb_tokens,
+        F.regexp_replace(F.lower(rest2.token), r"\d", "0") == emb_tokens.token,
+        "left_anti",
+    ).withColumn("probe", F.lit("oov"))
+    return exact.unionByName(lower).unionByName(digits).unionByName(oov)

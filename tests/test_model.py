@@ -152,4 +152,4 @@ def test_tagger_end_to_end(spark):
     ).hexdigest()
     # Golden frozen from seed-42 weights over the 60-page fixture
     # (reference-style pretrained-model regression, src/unit_tests.py).
-    assert digest == "f89fe9e3a4a26991f68a3d94e22cc686"
+    assert digest == "bf1f8bf100ddd53c0cf0162604b47a93"
