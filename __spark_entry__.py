@@ -27,12 +27,13 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry() -> dict[str, tuple]:
     """name -> (spark_fn, oracle_sql_or_None), merged from the catalogs."""
-    from neuroner_spark.plans import catalog_ner, catalog_relational, catalog_text
+    from neuroner_spark.plans import catalog_kg, catalog_ner, catalog_relational, catalog_text
 
     merged: dict[str, tuple] = {}
     merged.update(catalog_relational.QUERIES)
     merged.update(catalog_text.QUERIES)
     merged.update(catalog_ner.QUERIES)
+    merged.update(catalog_kg.QUERIES)
     return merged
 
 

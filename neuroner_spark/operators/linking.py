@@ -20,8 +20,12 @@ from pyspark.sql import functions as F
 def exact_candidates(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """J8: (mention cols..., entity_id, canonical_name, prior, method='exact')."""
     links = alias_dict.select("alias_norm", "entity_id", "canonical_name", "prior")
+    # name-based join condition: df-attribute references break when the
+    # mentions frame is itself a join product (ambiguous lineage)
     return (
-        mentions.join(F.broadcast(links), mentions.surface_norm == links.alias_norm, "inner")
+        mentions.join(
+            F.broadcast(links), F.col("surface_norm") == F.col("alias_norm"), "inner"
+        )
         .drop("alias_norm")
         .withColumn("method", F.lit("exact"))
     )

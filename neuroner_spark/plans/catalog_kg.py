@@ -1,0 +1,238 @@
+"""Oracle-checked KG-stage catalog (SURVEY.md J8/J10 + rows-only
+entries for the neural tagger and the full pipeline).
+
+- ``connected_components``: the production large-star/small-star loop
+  over a graph derived from customer/supplier->nation edges, checked
+  against a DuckDB RECURSIVE CTE transitive-closure oracle.
+- ``gazetteer_mentions`` / ``link_best``: the production broadcast
+  n-gram matcher and linking scorer over pseudo-tokens, checked against
+  an inline-VALUES alias dictionary in pure SQL.
+- ``neural_tag_spans`` / ``kg_triples``: genuinely non-SQL ops
+  (BiLSTM-CRF inference; multi-stage pipeline) — rows-only checks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from neuroner_spark.operators.components import connected_components
+from neuroner_spark.operators.gazetteer import match_mentions
+from neuroner_spark.operators.linking import link_mentions
+from neuroner_spark.plans.catalog_ner import PSEUDO_TOKENS_CTE, pseudo_tokens
+
+# Pinned dictionary over the documents corpus vocabulary: bigrams nest
+# unigrams ('merge sort' contains 'sort') to exercise longest-match
+# containment; 'spark' is ambiguous (2 entities) to exercise the
+# prior x coherence scorer.
+ALIAS_DICT = [
+    # (alias, alias_norm, entity_id, canonical_name, prior)
+    ("spark", "spark", 1, "Apache Spark", 0.7),
+    ("spark", "spark", 2, "Spark Plug", 0.3),
+    ("table scan", "table scan", 3, "Table Scan", 1.0),
+    ("hash join", "hash join", 4, "Hash Join", 1.0),
+    ("merge sort", "merge sort", 5, "Merge Sort", 1.0),
+    ("window", "window", 6, "Window Function", 1.0),
+    ("stream", "stream", 7, "Stream", 1.0),
+    ("sort", "sort", 8, "Sort", 1.0),
+    ("scan", "scan", 9, "Scan", 1.0),
+    ("join", "join", 10, "Join", 1.0),
+    ("vector", "vector", 11, "Vector", 1.0),
+    ("customer", "customer", 2, "Spark Plug", 0.5),
+]
+
+
+def _aliases(spark):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("alias", T.StringType(), False),
+            T.StructField("alias_norm", T.StringType(), False),
+            T.StructField("entity_id", T.LongType(), False),
+            T.StructField("canonical_name", T.StringType(), False),
+            T.StructField("prior", T.DoubleType(), False),
+        ]
+    )
+    return spark.createDataFrame(ALIAS_DICT, schema)
+
+
+def _alias_values_cte() -> str:
+    vals = ",\n    ".join(
+        f"('{a}', '{an}', {eid}, '{cn}', {p!r})" for a, an, eid, cn, p in ALIAS_DICT
+    )
+    return f"""
+alias_dict(alias, alias_norm, entity_id, canonical_name, prior) AS (
+  SELECT * FROM (VALUES
+    {vals}
+  )
+)
+"""
+
+
+# --- J10: connected components vs recursive-CTE oracle ----------------
+def _edges(spark, sf_dir):
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    ce = c.select(
+        (F.col("c_custkey") + 1000000).cast("long").alias("src"),
+        F.col("c_nationkey").cast("long").alias("dst"),
+    )
+    se = s.select(
+        (F.col("s_suppkey") + 2000000).cast("long").alias("src"),
+        F.col("s_nationkey").cast("long").alias("dst"),
+    )
+    return ce.unionByName(se)
+
+
+def q_connected_components(spark, sf_dir):
+    return connected_components(_edges(spark, sf_dir))
+
+
+SQL_CONNECTED_COMPONENTS = """
+WITH RECURSIVE edges AS (
+  SELECT CAST(c_custkey + 1000000 AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst FROM customer
+  UNION ALL
+  SELECT CAST(s_suppkey + 2000000 AS BIGINT) AS src, CAST(s_nationkey AS BIGINT) AS dst FROM supplier
+), sym AS (
+  SELECT src, dst FROM edges UNION SELECT dst, src FROM edges
+), reach(node, r) AS (
+  SELECT src AS node, src AS r FROM sym
+  UNION
+  SELECT sym.src AS node, reach.r
+  FROM sym JOIN reach ON sym.dst = reach.node
+)
+SELECT node, min(r) AS component FROM reach GROUP BY node
+"""
+
+
+# --- J8: gazetteer n-gram mention matching vs inline-dict oracle ------
+def _mention_tokens(spark, sf_dir):
+    toks = pseudo_tokens(spark, sf_dir)
+    return toks.select("doc_id", "sent_id", "pos", "token", "start", "end")
+
+
+def q_gazetteer_mentions(spark, sf_dir):
+    mentions = match_mentions(_mention_tokens(spark, sf_dir), _aliases(spark))
+    return mentions.select("doc_id", "pos", "n", "surface_norm")
+
+
+def _ngram_cte() -> str:
+    # mirrors operators/gazetteer.py: n-grams 1..3 via lead, normalized;
+    # longest-per-pos then drop matches contained in an earlier longer one
+    return f"""
+WITH {PSEUDO_TOKENS_CTE},
+with_next AS (
+  SELECT doc_id, sent_id, pos, token,
+         lead(token, 1) OVER (PARTITION BY doc_id, sent_id ORDER BY pos) AS t1,
+         lead(token, 2) OVER (PARTITION BY doc_id, sent_id ORDER BY pos) AS t2
+  FROM labeled
+), grams AS (
+  SELECT doc_id, sent_id, pos, 1 AS n, token AS surface FROM with_next
+  UNION ALL
+  SELECT doc_id, sent_id, pos, 2, token || ' ' || t1 FROM with_next WHERE t1 IS NOT NULL
+  UNION ALL
+  SELECT doc_id, sent_id, pos, 3, token || ' ' || t1 || ' ' || t2 FROM with_next WHERE t2 IS NOT NULL
+), normed AS (
+  SELECT doc_id, sent_id, pos, n,
+         trim(regexp_replace(regexp_replace(lower(surface), '[0-9]', '0', 'g'), '\\s+', ' ', 'g')) AS surface_norm
+  FROM grams
+), {_alias_values_cte()},
+hits AS (
+  SELECT DISTINCT g.doc_id, g.sent_id, g.pos, g.n, g.surface_norm
+  FROM normed g JOIN (SELECT DISTINCT alias_norm FROM alias_dict) a
+    ON g.surface_norm = a.alias_norm
+), longest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id, pos ORDER BY n DESC) AS rn
+    FROM hits
+  ) WHERE rn = 1
+), mentions AS (
+  SELECT l.doc_id, l.sent_id, l.pos, l.n, l.surface_norm
+  FROM longest l
+  WHERE NOT EXISTS (
+    SELECT 1 FROM longest b
+    WHERE b.doc_id = l.doc_id AND b.sent_id = l.sent_id
+      AND b.pos < l.pos AND b.pos + b.n >= l.pos + l.n
+  )
+)
+"""
+
+
+SQL_GAZETTEER_MENTIONS = _ngram_cte() + """
+SELECT doc_id, pos, n, surface_norm FROM mentions
+"""
+
+
+# --- J8+scorer: best-entity linking vs SQL oracle ---------------------
+def q_link_best(spark, sf_dir):
+    aliases = _aliases(spark)
+    mentions = match_mentions(_mention_tokens(spark, sf_dir), aliases)
+    linked = link_mentions(mentions, aliases, use_fuzzy=False)
+    return linked.select(
+        "doc_id", "pos", "surface_norm", "entity_id", F.round("score", 6).alias("score")
+    )
+
+
+SQL_LINK_BEST = _ngram_cte() + """
+, cands AS (
+  SELECT m.doc_id, m.sent_id, m.pos, m.surface_norm, a.entity_id, a.prior
+  FROM mentions m JOIN alias_dict a ON m.surface_norm = a.alias_norm
+), support AS (
+  SELECT doc_id, entity_id, count(DISTINCT surface_norm) AS n_surfaces
+  FROM cands GROUP BY doc_id, entity_id
+), scored AS (
+  SELECT c.doc_id, c.sent_id, c.pos, c.surface_norm, c.entity_id,
+         c.prior * (1.0 + (s.n_surfaces - 1) * 0.5) AS score
+  FROM cands c JOIN support s ON c.doc_id = s.doc_id AND c.entity_id = s.entity_id
+)
+SELECT doc_id, pos, surface_norm, entity_id, round(score, 6) AS score FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id, pos
+            ORDER BY score DESC, entity_id ASC) AS rn
+  FROM scored
+) WHERE rn = 1
+"""
+
+
+# --- rows-only: neural tagger + full pipeline -------------------------
+def q_neural_tag_spans(spark, sf_dir):
+    """BiLSTM-CRF tag the documents corpus with the seed-42 bundle and
+    extract conlleval spans — deterministic but not SQL-expressible."""
+    from neuroner_spark.model.tagger import tag_tokens
+    from neuroner_spark.model.weights import make_bundle
+    from neuroner_spark.operators.spans import extract_spans
+
+    tokens = _mention_tokens(spark, sf_dir)
+    vocab_rows = (
+        tokens.groupBy("token").count().orderBy(F.desc("count"), "token").limit(50000).collect()
+    )
+    vocab = {r["token"]: i + 1 for i, r in enumerate(vocab_rows)}
+    bundle = make_bundle(vocab, seed=42)
+    tagged = tag_tokens(spark, tokens, bundle)
+    return extract_spans(tagged, label_col="label").select(
+        "doc_id", "type", "start", "end", "n_tokens"
+    )
+
+
+def q_kg_triples(spark, sf_dir):
+    """Full gazetteer KG pipeline over documents -> distinct triples."""
+    from neuroner_spark.plans.kg_pipeline import canonical_map, triples_from_linked
+
+    aliases = _aliases(spark)
+    tokens = _mention_tokens(spark, sf_dir)
+    mentions = match_mentions(tokens, aliases)
+    linked = link_mentions(mentions, aliases, use_fuzzy=False)
+    canon = canonical_map(aliases)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("url"),
+        F.lit(None).cast("timestamp").alias("warc_ts"),
+    )
+    return triples_from_linked(linked, canon, docs).select("subj", "pred", "obj", "url")
+
+
+QUERIES = {
+    "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER_MENTIONS),
+    "link_best": (q_link_best, SQL_LINK_BEST),
+    "neural_tag_spans": (q_neural_tag_spans, None),
+    "kg_triples": (q_kg_triples, None),
+}
