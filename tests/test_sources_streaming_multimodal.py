@@ -1,0 +1,135 @@
+"""Source scans (CoNLL/BRAT/embeddings), streaming ingestion, and
+multimodal plumbing — reference test strategy: format round-trips
+(src/unit_tests.py analog)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from neuroner_spark.fixtures.gen import pages_df
+
+
+def test_conll_roundtrip(spark, tmp_path):
+    """write_conll ∘ read_conll preserves tokens/labels/sentences."""
+    from neuroner_spark.sources.conll import read_conll, write_conll
+
+    src = str(tmp_path / "conll_in")
+    os.makedirs(src)
+    with open(os.path.join(src, "doc1.txt"), "w") as f:
+        f.write("John B-PER\nSmith I-PER\nworks O\n\nActs O\nhere O\n")
+    toks = read_conll(spark, src)
+    rows = toks.orderBy("sent_id", "pos").collect()
+    assert [(r["sent_id"], r["pos"], r["token"], r["label"]) for r in rows] == [
+        (0, 0, "John", "B-PER"),
+        (0, 1, "Smith", "I-PER"),
+        (0, 2, "works", "O"),
+        (1, 0, "Acts", "O"),
+        (1, 1, "here", "O"),
+    ]
+    out = str(tmp_path / "conll_out")
+    write_conll(toks, out)
+    back = read_conll(spark, out)
+    a = sorted((r["sent_id"], r["pos"], r["token"], r["label"]) for r in back.collect())
+    b = sorted((r["sent_id"], r["pos"], r["token"], r["label"]) for r in rows)
+    assert a == b
+
+
+def test_brat_read_and_invariant(spark, tmp_path):
+    from neuroner_spark.sources.brat import (
+        annotation_violations,
+        read_brat_ann,
+        read_brat_text,
+    )
+
+    d = str(tmp_path / "brat")
+    os.makedirs(d)
+    text = "Alice met Bob in Paris."
+    with open(os.path.join(d, "doc1.txt"), "w") as f:
+        f.write(text)
+    with open(os.path.join(d, "doc1.ann"), "w") as f:
+        f.write("T1\tPER 0 5\tAlice\nT2\tPER 10 13\tBob\nT3\tLOC 17 22\tParis\n")
+    texts = read_brat_text(spark, os.path.join(d, "*.txt"))
+    anns = read_brat_ann(spark, os.path.join(d, "*.ann"))
+    assert anns.count() == 3
+    assert annotation_violations(texts, anns).count() == 0
+    # corrupt one offset -> violation detected (reference hard-fails here)
+    bad = anns.withColumn(
+        "start", F.when(F.col("ann_id") == "T2", F.lit(9)).otherwise(F.col("start"))
+    )
+    assert annotation_violations(texts, bad).count() == 1
+
+
+def test_embedding_scan_and_probe_chain(spark, tmp_path):
+    from neuroner_spark.sources.embeddings import (
+        pretrained_membership,
+        read_embedding_text,
+        vocab_embedding_matrix,
+    )
+
+    p = str(tmp_path / "glove.txt")
+    with open(p, "w") as f:
+        f.write("hello " + " ".join(["0.1"] * 4) + "\n")
+        f.write("world " + " ".join(["0.2"] * 4) + "\n")
+        f.write("year0 " + " ".join(["0.3"] * 4) + "\n")
+    emb = read_embedding_text(spark, p, dim=4)
+    assert emb.count() == 3
+    vocab_df = spark.createDataFrame(
+        [("hello",), ("WORLD",), ("year9",), ("zzz",)], "token string"
+    )
+    probes = {r["token"]: r["probe"] for r in pretrained_membership(vocab_df, emb).collect()}
+    assert probes == {"hello": "exact", "WORLD": "lower", "year9": "digits0", "zzz": "oov"}
+    mat = vocab_embedding_matrix({"hello": 1, "WORLD": 2, "year9": 3, "zzz": 4}, emb)
+    assert mat.shape == (5, 4)
+    assert mat[1, 0] == pytest.approx(0.1, abs=1e-6)
+    assert mat[2, 0] == pytest.approx(0.2, abs=1e-6)  # lower probe
+    assert mat[3, 0] == pytest.approx(0.3, abs=1e-6)  # digits->0 probe
+    assert (mat[4] == 0).all()  # oov stays zero
+
+
+def test_streaming_pipeline(spark, tmp_path):
+    from neuroner_spark.plans.flagship import builtin_alias_dict
+    from neuroner_spark.streaming.ingest import host_rate_windows, run_streaming_pipeline
+
+    landing = str(tmp_path / "landing")
+    pages = pages_df(spark, 80)
+    pages.write.parquet(landing)
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    from neuroner_spark.fixtures.gen import alias_df
+
+    run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark))
+    triples = spark.read.parquet(out)
+    assert triples.count() > 0
+    assert set(triples.columns) == {"subj", "pred", "obj", "url", "warc_ts"}
+    # second drain with same checkpoint: no new input -> no duplicate rows
+    n1 = triples.count()
+    run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark))
+    assert spark.read.parquet(out).count() == n1
+    # windowed host-rate agg compiles and runs in batch mode too
+    rates = host_rate_windows(spark.read.parquet(landing))
+    assert rates.count() > 0
+
+
+def test_multimodal_plumbing(spark):
+    from neuroner_spark.functions.multimodal import html_to_text, media_features
+
+    pages = pages_df(spark, 30)
+    with_text = html_to_text(pages)
+    rows = with_text.select("text", "text_from_html").collect()
+    # html wraps the exact text -> extraction recovers it (whitespace-normalized)
+    import re
+
+    for r in rows:
+        want = re.sub(r"\s+", " ", r["text"]).strip()
+        assert r["text_from_html"] == want
+    feats = media_features(pages, "url", "html", "image", deterministic_fake=True, n_partitions=4)
+    out = feats.collect()
+    assert len(out) == 30
+    assert all(len(r["feature"]) == 32 for r in out)
+    # deterministic across runs
+    out2 = media_features(pages, "url", "html", "image", deterministic_fake=True).collect()
+    assert {r["id"]: r["feature"] for r in out} == {r["id"]: r["feature"] for r in out2}
+    # stub path: real decoder absent -> NotImplementedError surfaces
+    with pytest.raises(Exception, match="NotImplementedError|decode"):
+        media_features(pages.limit(1), "url", "html", "audio", deterministic_fake=False).collect()
