@@ -110,6 +110,16 @@ def forward_scores_feat(token_ids, char_feat, lengths, arrays):
     return ff @ arrays["out_W"] + arrays["out_b"]  # [B,T,C+2]
 
 
+def argmax_decode(scores, lengths):
+    """No-CRF path (reference ``use_crf=False``: ``tf.argmax`` per
+    token, SURVEY O2): independent per-token argmax over real classes."""
+    out = scores[:, :, :N_CLASSES].argmax(axis=2).astype(np.int32)
+    B, T = out.shape
+    mask = np.arange(T)[None, :] >= lengths[:, None]
+    out[mask] = 0
+    return out
+
+
 def viterbi_decode(scores, lengths, transitions):
     """Batched Viterbi with start/end augmentation (reference
     ``tf.contrib.crf.viterbi_decode`` semantics, one DP over max-T for

@@ -31,7 +31,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from neuroner_spark.model.bilstm_crf import char_encode, forward_scores_feat, viterbi_decode
+from neuroner_spark.model.bilstm_crf import (
+    argmax_decode,
+    char_encode,
+    forward_scores_feat,
+    viterbi_decode,
+)
 
 MAX_WORD_LEN = 20
 SUB_BATCH = 512
@@ -82,9 +87,10 @@ def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, vocab_series_map,
     return token_ids, char_feat, row_idx, col_idx
 
 
-def make_tag_fn(bundle_bc):
+def make_tag_fn(bundle_bc, use_crf: bool = True):
     """mapInPandas fn over sentence rows
-    (doc_id, sent_id, pos_arr, token_arr, start_arr, end_arr)."""
+    (doc_id, sent_id, pos_arr, token_arr, start_arr, end_arr).
+    use_crf=False -> per-token argmax (reference's no-CRF mode)."""
 
     def tag_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bundle = bundle_bc.value
@@ -115,7 +121,10 @@ def make_tag_fn(bundle_bc):
                     flat_tokens, lengths, vmap, arrays
                 )
                 scores = forward_scores_feat(token_ids, char_feat, lengths, arrays)
-                pred = viterbi_decode(scores, lengths, arrays["crf_transitions"])
+                if use_crf:
+                    pred = viterbi_decode(scores, lengths, arrays["crf_transitions"])
+                else:
+                    pred = argmax_decode(scores, lengths)
                 out = pd.DataFrame(
                     {
                         "doc_id": np.repeat(pdf["doc_id"].to_numpy()[idx], lengths),
@@ -152,7 +161,13 @@ def sentences_from_tokens(tokens: DataFrame) -> DataFrame:
     )
 
 
-def tag_tokens(spark: SparkSession, tokens: DataFrame, bundle: dict, n_partitions: int | None = None) -> DataFrame:
+def tag_tokens(
+    spark: SparkSession,
+    tokens: DataFrame,
+    bundle: dict,
+    n_partitions: int | None = None,
+    use_crf: bool = True,
+) -> DataFrame:
     """tokens(doc_id, sent_id, pos, token, start, end) ->
     tagged(..., label) — BIOES labels from the broadcast model."""
     sentences = sentences_from_tokens(tokens)
@@ -162,4 +177,4 @@ def tag_tokens(spark: SparkSession, tokens: DataFrame, bundle: dict, n_partition
     # spread across ALL partitions instead of hot-spotting one task
     salted = sentences.repartition(n_partitions, F.xxhash64("doc_id", "sent_id"))
     bundle_bc = spark.sparkContext.broadcast(bundle)
-    return salted.mapInPandas(make_tag_fn(bundle_bc), schema=TAGGED_SCHEMA)
+    return salted.mapInPandas(make_tag_fn(bundle_bc, use_crf), schema=TAGGED_SCHEMA)

@@ -1,0 +1,54 @@
+"""Re-run the PLANS.md physical-plan audit: prints pushdown/pruning/
+join-strategy lines from `.explain("formatted")` for the headline
+operators. Usage: python scripts/explain_audit.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+INTERESTING = re.compile(
+    r"PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|Exchange|"
+    r"HashAggregate|WindowGroupLimit|ArrowEvalPython|MapInPandas|Scan parquet"
+)
+
+
+def show(name: str, df) -> None:
+    print(f"\n=== {name} ===")
+    plan = df._jdf.queryExecution().explainString(
+        df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    for line in plan.splitlines():
+        if INTERESTING.search(line):
+            print(line.rstrip()[:200])
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from neuroner_spark.session import get_spark
+
+    spark = get_spark("explain_audit", cores=4, shuffle_partitions=4,
+                      extra_conf={"spark.ui.showConsoleProgress": "false"})
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.operators.gazetteer import match_mentions
+    from neuroner_spark.plans.catalog_kg import _aliases, _mention_tokens
+    from neuroner_spark.plans.catalog_relational import (
+        q_pricing_summary,
+        q_region_acctbal,
+        q_user_sessions,
+    )
+    from neuroner_spark.plans.catalog_text import q_dedup_jaccard
+
+    show("pricing_summary", q_pricing_summary(spark, sf))
+    show("region_acctbal", q_region_acctbal(spark, sf))
+    show("user_sessions", q_user_sessions(spark, sf))
+    show("dedup_jaccard", q_dedup_jaccard(spark, sf))
+    show("tokenize", tokenize(spark.read.parquet(f"{sf}/documents.parquet")))
+    show("match_mentions", match_mentions(_mention_tokens(spark, sf), _aliases(spark)))
+
+
+if __name__ == "__main__":
+    main()

@@ -153,3 +153,34 @@ def test_tagger_end_to_end(spark):
     # Golden frozen from seed-42 weights over the 60-page fixture
     # (reference-style pretrained-model regression, src/unit_tests.py).
     assert digest == "bf1f8bf100ddd53c0cf0162604b47a93"
+
+
+def test_argmax_decode_no_crf():
+    """O2: no-CRF per-token argmax path."""
+    rng = np.random.default_rng(9)
+    scores = rng.normal(0, 1, (3, 4, N_CLASSES + 2)).astype(np.float32)
+    lengths = np.array([4, 2, 0])
+    out = M.argmax_decode(scores, lengths)
+    assert out.shape == (3, 4)
+    assert (out[1, 2:] == 0).all() and (out[2] == 0).all()
+    for b, t in [(0, 0), (0, 3), (1, 1)]:
+        assert out[b, t] == scores[b, t, :N_CLASSES].argmax()
+
+
+def test_tagger_no_crf_runs(spark):
+    from neuroner_spark.fixtures.gen import pages_df
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.model.tagger import tag_tokens
+    from pyspark.sql import functions as F
+
+    pages = pages_df(spark, 20).select(F.col("url").alias("doc_id"), "text")
+    tokens = tokenize(pages)
+    vocab = build_vocab([r["token"] for r in tokens.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    crf = tag_tokens(spark, tokens, bundle, n_partitions=4, use_crf=True).collect()
+    nocrf = tag_tokens(spark, tokens, bundle, n_partitions=4, use_crf=False).collect()
+    assert len(crf) == len(nocrf) > 0
+    # the two decoders genuinely differ somewhere on random weights
+    c = {(r["doc_id"], r["sent_id"], r["pos"]): r["label"] for r in crf}
+    n = {(r["doc_id"], r["sent_id"], r["pos"]): r["label"] for r in nocrf}
+    assert any(c[k] != n[k] for k in c)
