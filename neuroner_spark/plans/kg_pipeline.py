@@ -53,14 +53,29 @@ def _write_stage(df: DataFrame, out_dir: str, stage: str, fingerprint: str, line
     df.write.mode("overwrite").parquet(path)
     spark = df.sparkSession
     out = spark.read.parquet(path)
-    n_rows = out.count()
+    # per-partition lineage (north_rule): row-count histogram over the
+    # materialized partitions — the skew instrument; one cheap agg on
+    # data already read for the row count
+    per_part = (
+        out.groupBy(F.spark_partition_id().alias("pid"))
+        .count()
+        .agg(
+            F.count("*").alias("parts"),
+            F.sum("count").alias("rows"),
+            F.min("count").alias("min"),
+            F.max("count").alias("max"),
+        )
+        .collect()[0]
+    )
     wall = time.time() - t0
     manifest = {
         "stage": stage,
         "fingerprint": fingerprint,
-        "n_rows": n_rows,
+        "n_rows": int(per_part["rows"] or 0),
         "wall_s": round(wall, 3),
-        "n_partitions": out.rdd.getNumPartitions(),
+        "n_partitions": int(per_part["parts"]),
+        "partition_rows_min": int(per_part["min"] or 0),
+        "partition_rows_max": int(per_part["max"] or 0),
     }
     with open(_manifest_path(out_dir, stage), "w") as f:
         json.dump(manifest, f)
@@ -160,6 +175,28 @@ def triples_from_linked(linked: DataFrame, canon: DataFrame, pages_meta: DataFra
     )
 
 
+def neural_mentions(spark: SparkSession, tokens: DataFrame, bundle: dict) -> DataFrame:
+    """D1 path: BiLSTM-CRF tag -> conlleval span extraction ->
+    mention rows shaped like the gazetteer output (surface_norm for
+    candidate gen)."""
+    from neuroner_spark.functions.normalize import surface_norm as _sn
+    from neuroner_spark.model.tagger import tag_tokens
+    from neuroner_spark.operators.spans import extract_spans
+
+    tagged = tag_tokens(spark, tokens, bundle)
+    spans = extract_spans(tagged, label_col="label")
+    return spans.select(
+        "doc_id",
+        "sent_id",
+        F.col("span_id").cast("int").alias("pos"),
+        F.col("n_tokens").cast("int").alias("n"),
+        F.col("surface"),
+        _sn(F.col("surface")).alias("surface_norm"),
+        "start",
+        "end",
+    )
+
+
 def run_pipeline(
     spark: SparkSession,
     pages: DataFrame,
@@ -167,9 +204,14 @@ def run_pipeline(
     out_dir: str,
     resume: bool = True,
     use_fuzzy: bool = False,
+    mention_source: str = "gazetteer",
+    bundle: dict | None = None,
 ) -> dict:
     """Run all stages with checkpoint/resume; returns
     {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
+
+    mention_source: 'gazetteer' (J8 broadcast n-gram match) or
+    'neural' (D1 BiLSTM-CRF tagger; requires ``bundle``).
     """
     os.makedirs(out_dir, exist_ok=True)
     lineage: list[dict] = []
@@ -185,9 +227,21 @@ def run_pipeline(
 
     norm = stage("normalized", fp_pages, lambda: normalize_pages(pages))
     tokens = stage("tokens", fp_pages + "|tok", lambda: tokenize(norm))
-    mentions = stage(
-        "mentions", fp_pages + "|" + fp_alias + "|gaz", lambda: match_mentions(tokens, alias_dict)
-    )
+    if mention_source == "neural":
+        if bundle is None:
+            raise ValueError("mention_source='neural' requires a weight bundle")
+        import hashlib
+
+        wfp = hashlib.md5(bundle["arrays"]["crf_transitions"].tobytes()).hexdigest()[:12]
+        mentions = stage(
+            "mentions",
+            fp_pages + f"|neural:{len(bundle['vocab'])}:{wfp}",
+            lambda: neural_mentions(spark, tokens, bundle),
+        )
+    else:
+        mentions = stage(
+            "mentions", fp_pages + "|" + fp_alias + "|gaz", lambda: match_mentions(tokens, alias_dict)
+        )
     linked = stage(
         "linked",
         fp_pages + "|" + fp_alias + f"|link:fuzzy={use_fuzzy}",

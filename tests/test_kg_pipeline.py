@@ -102,3 +102,33 @@ def test_fuzzy_linking_covers_typos(spark):
     rows = linked.collect()
     assert len(rows) == 1
     assert rows[0]["canonical_name"] == "Alder Analytics"
+
+
+def test_neural_pipeline_end_to_end(spark, tmp_path):
+    """North-star core path: BiLSTM-CRF mentions feed linking/triples."""
+    from neuroner_spark.fixtures.gen import alias_df, pages_df
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.model.weights import build_vocab, make_bundle
+    from neuroner_spark.plans.kg_pipeline import normalize_pages
+
+    pages = pages_df(spark, 80)
+    toks = tokenize(normalize_pages(pages))
+    vocab = build_vocab([r["token"] for r in toks.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    out = str(tmp_path / "neural_out")
+    res = run_pipeline(
+        spark, pages, alias_df(spark), out,
+        resume=True, mention_source="neural", bundle=bundle,
+    )
+    lineage = {m["stage"]: m for m in res["lineage"]}
+    assert lineage["mentions"]["n_rows"] > 0
+    # per-partition lineage recorded (skew instrument)
+    assert "partition_rows_max" in lineage["mentions"]
+    # deterministic: resume reproduces identical triples
+    t1 = sorted(map(tuple, res["triples"].collect()))
+    res2 = run_pipeline(
+        spark, pages, alias_df(spark), out,
+        resume=True, mention_source="neural", bundle=bundle,
+    )
+    assert all(m.get("resumed") for m in res2["lineage"])
+    assert sorted(map(tuple, res2["triples"].collect())) == t1
