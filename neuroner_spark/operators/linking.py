@@ -105,13 +105,13 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame, use_fuzzy: bool = 
         fuzzy = fuzzy_candidates(mentions, alias_dict)
         if fuzzy is not None:
             cands = cands.unionByName(fuzzy.select(*cands.columns))
-    # doc-coherence: per (doc, entity) count distinct mention surfaces
-    support = cands.groupBy("doc_id", "entity_id").agg(
-        F.countDistinct("surface_norm").alias("n_surfaces")
-    )
-    scored = cands.join(support, ["doc_id", "entity_id"]).withColumn(
-        "score", F.col("prior") * (1.0 + (F.col("n_surfaces") - 1) * 0.5)
-    )
+    # doc-coherence: per (doc, entity) count distinct mention surfaces.
+    # As a window (not groupBy + join-back): the join-back shape would
+    # re-execute the candidate subtree — tagger included — twice.
+    w_support = Window.partitionBy("doc_id", "entity_id")
+    scored = cands.withColumn(
+        "n_surfaces", F.size(F.collect_set("surface_norm").over(w_support))
+    ).withColumn("score", F.col("prior") * (1.0 + (F.col("n_surfaces") - 1) * 0.5))
     w = Window.partitionBy("doc_id", "sent_id", "pos").orderBy(
         F.desc("score"), F.asc("entity_id")
     )

@@ -147,6 +147,11 @@ def triples_from_linked(linked: DataFrame, canon: DataFrame, pages_meta: DataFra
     m = (
         linked.join(F.broadcast(canon), "entity_id")
         .select("doc_id", "sent_id", "pos", F.col("canonical_id").alias("ent"))
+        # this frame is branched 4x below (sentence pairs a/b, doc sets
+        # a/b); without materialization every branch re-executes the
+        # whole upstream (tokenize -> match -> link — or the tagger) —
+        # at 100 TB that is the single worst plan mistake available
+        .localCheckpoint()
     )
     a = m.select("doc_id", "sent_id", F.col("pos").alias("pos_a"), F.col("ent").alias("subj"))
     b = m.select("doc_id", "sent_id", F.col("pos").alias("pos_b"), F.col("ent").alias("obj"))
