@@ -421,8 +421,45 @@ FROM counts GROUP BY 1
 """
 
 
+# --- U1: vocab union across corpora (documents tokens ∪ part-name words)
+def q_vocab_union(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    p = _t(spark, sf_dir, "part")
+    doc_toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    part_toks = p.select(F.explode(F.split(F.lower(F.col("p_name")), " ")).alias("token"))
+    return doc_toks.unionByName(part_toks).distinct()
+
+
+SQL_VOCAB_UNION = """
+SELECT DISTINCT token FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+  UNION ALL
+  SELECT unnest(string_split(lower(p_name), ' ')) AS token FROM part
+)
+"""
+
+
+# --- A7: max token length (char-padding dimension probe)
+def q_max_token_len(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    return toks.agg(
+        F.max(F.length("token")).alias("max_tok_len"),
+        F.count("*").alias("n_tokens"),
+    )
+
+
+SQL_MAX_TOKEN_LEN = """
+SELECT max(length(token)) AS max_tok_len, count(*) AS n_tokens FROM (
+  SELECT unnest(string_split(text, ' ')) AS token FROM documents
+)
+"""
+
+
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
+    "vocab_union": (q_vocab_union, SQL_VOCAB_UNION),
+    "max_token_len": (q_max_token_len, SQL_MAX_TOKEN_LEN),
     "region_acctbal": (q_region_acctbal, SQL_REGION_ACCTBAL),
     "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),

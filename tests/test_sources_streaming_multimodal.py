@@ -133,3 +133,38 @@ def test_multimodal_plumbing(spark):
     # stub path: real decoder absent -> NotImplementedError surfaces
     with pytest.raises(Exception, match="NotImplementedError|decode"):
         media_features(pages.limit(1), "url", "html", "audio", deterministic_fake=False).collect()
+
+
+def test_split_routing_partition_pruning(spark, tmp_path):
+    """P6: split routing as a partition-column filter — the plan must
+    prune to one partition directory (reference: skip absent splits)."""
+    from neuroner_spark.fixtures.gen import pages_df
+
+    d = str(tmp_path / "splits")
+    pages = pages_df(spark, 60)
+    tagged = pages.withColumn(
+        "split",
+        F.when(F.col("url").endswith("0"), "test").otherwise("train"),
+    )
+    tagged.write.partitionBy("split").parquet(d)
+    test_only = spark.read.parquet(d).filter(F.col("split") == "test")
+    plan = test_only._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(split" in plan and "split" in plan
+    assert test_only.count() > 0
+    # pruned scan reads strictly fewer files than the full scan
+    full = spark.read.parquet(d)
+    assert test_only.count() < full.count()
+
+
+def test_brat_writer_roundtrip(spark, tmp_path):
+    from neuroner_spark.sources.brat import read_brat_ann, write_brat_ann
+
+    spans = spark.createDataFrame(
+        [("docA", 1, "PER", 0, 5, "Alice"), ("docA", 2, "LOC", 10, 15, "Paris")],
+        "doc_id string, span_id long, type string, start long, end long, surface string",
+    )
+    out = str(tmp_path / "ann")
+    write_brat_ann(spans, out)
+    back = read_brat_ann(spark, out + "/doc_id=docA/*")
+    rows = {r["ann_id"]: (r["type"], r["start"], r["end"], r["surface"]) for r in back.collect()}
+    assert rows == {"T1": ("PER", 0, 5, "Alice"), "T2": ("LOC", 10, 15, "Paris")}
