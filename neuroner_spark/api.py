@@ -1,0 +1,55 @@
+"""User-facing API mirroring the reference's entry points (SURVEY §3).
+
+Reference parity:
+- entry point 3, ``src/neuroner.py :: predict`` (≈L335–400): text in,
+  list of {text, type, start, end} entity dicts out. Here ``predict``
+  takes one text or a list and runs the full Spark path (normalize ->
+  tokenize -> tag -> spans), so small-batch deploy and 10^12-page batch
+  share one code path.
+- entry point 2, pretrained evaluation: ``evaluate`` computes the
+  conlleval phrase F1 of a tagged corpus against gold labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.normalize import normalize_whitespace
+from neuroner_spark.functions.tokenize import tokenize
+from neuroner_spark.model.tagger import tag_tokens
+from neuroner_spark.operators.metrics import conlleval_f1
+from neuroner_spark.operators.spans import extract_spans
+
+
+def predict(spark: SparkSession, texts: str | list[str], bundle: dict, use_crf: bool = True) -> list[dict]:
+    """Tag raw text(s) -> entity dicts (reference ``NeuroNER.predict``).
+
+    Returns [{'doc': i, 'text': surface, 'type': T, 'start': s,
+    'end': e}, ...] with char offsets into the normalized text.
+    """
+    if isinstance(texts, str):
+        texts = [texts]
+    docs = spark.createDataFrame(
+        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    ).select("doc_id", normalize_whitespace(F.col("text")).alias("text"))
+    tokens = tokenize(docs)
+    tagged = tag_tokens(spark, tokens, bundle, use_crf=use_crf)
+    spans = extract_spans(tagged, label_col="label")
+    out = []
+    for r in spans.orderBy("doc_id", "sent_id", "start").collect():
+        out.append(
+            {
+                "doc": int(r["doc_id"]),
+                "text": r["surface"],
+                "type": r["type"],
+                "start": int(r["start"]),
+                "end": int(r["end"]),
+            }
+        )
+    return out
+
+
+def evaluate(tagged_gold: DataFrame, gold_col: str = "gold", pred_col: str = "pred") -> DataFrame:
+    """Pretrained-evaluation path: conlleval phrase F1 table."""
+    return conlleval_f1(tagged_gold, gold_col, pred_col)

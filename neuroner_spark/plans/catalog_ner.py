@@ -316,6 +316,49 @@ FROM per_cls
 """
 
 
+def q_token_prf_binary(spark, sf_dir):
+    """A4 'binary' eval mode (i2b2-deid style: ENT vs O)."""
+    return token_prf(pseudo_tokens(spark, sf_dir), "gold", "pred", mode="binary")
+
+
+SQL_TOKEN_PRF_BINARY = f"""
+WITH {PSEUDO_TOKENS_CTE},
+remapped AS (
+  SELECT CASE WHEN gold = 'O' THEN 'O' ELSE 'ENT' END AS gold,
+         CASE WHEN pred = 'O' THEN 'O' ELSE 'ENT' END AS pred
+  FROM labeled
+), conf AS (
+  SELECT gold, pred, count(*) AS n FROM remapped GROUP BY gold, pred
+), as_gold AS (
+  SELECT gold AS cls,
+         sum(CASE WHEN pred = gold THEN n ELSE 0 END) AS tp,
+         sum(CASE WHEN pred <> gold THEN n ELSE 0 END) AS fn
+  FROM conf GROUP BY gold
+), as_pred AS (
+  SELECT pred AS cls, sum(CASE WHEN gold <> pred THEN n ELSE 0 END) AS fp
+  FROM conf GROUP BY pred
+), per_cls AS (
+  SELECT coalesce(g.cls, p.cls) AS cls,
+         CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+         CAST(coalesce(fn, 0) AS BIGINT) AS fn
+  FROM as_gold g FULL OUTER JOIN as_pred p ON g.cls = p.cls
+  WHERE coalesce(g.cls, p.cls) <> 'O'
+)
+SELECT cls, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                     + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END) > 0
+             THEN 2 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                    * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END)
+                  / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                   + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END))
+             ELSE 0.0 END, 6) AS f1
+FROM per_cls
+"""
+
+
 def q_token_accuracy(spark, sf_dir):
     return token_accuracy(pseudo_tokens(spark, sf_dir), "gold", "pred")
 
@@ -336,5 +379,6 @@ QUERIES = {
     "conlleval_f1": (q_conlleval_f1, SQL_CONLLEVAL_F1),
     "ner_confusion": (q_ner_confusion, SQL_NER_CONFUSION),
     "token_prf": (q_token_prf, SQL_TOKEN_PRF),
+    "token_prf_binary": (q_token_prf_binary, SQL_TOKEN_PRF_BINARY),
     "token_accuracy": (q_token_accuracy, SQL_TOKEN_ACCURACY),
 }

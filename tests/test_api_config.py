@@ -1,0 +1,47 @@
+"""API entry points (predict/evaluate) + INI config parity."""
+
+import os
+
+import pytest
+
+from neuroner_spark.config import EngineConfig, load_parameters
+
+
+def test_predict_returns_entities(spark):
+    from neuroner_spark.api import predict
+    from neuroner_spark.model.weights import make_bundle
+
+    bundle = make_bundle({"Alice": 1, "met": 2, "Bob": 3}, seed=42)
+    out = predict(spark, ["Alice met Bob. Bob left!", "nothing here"], bundle)
+    assert isinstance(out, list)
+    for e in out:
+        assert set(e) == {"doc", "text", "type", "start", "end"}
+        assert e["type"] in ("PER", "ORG", "LOC", "MISC")
+    # deterministic
+    out2 = predict(spark, ["Alice met Bob. Bob left!", "nothing here"], bundle)
+    assert out == out2
+
+
+def test_config_defaults_and_ini(tmp_path):
+    cfg = load_parameters()
+    assert cfg.use_crf and cfg.tagging_format == "bioes" and cfg.seed == 42
+    ini = tmp_path / "parameters.ini"
+    ini.write_text(
+        "[mode]\ntrain_model = False\nuse_pretrained_model = True\n"
+        "[ann]\nuse_crf = false\ntagging_format = bio\n"
+        "[training]\ndropout_rate = 0.5\nlearning_rate = 0.005\n"
+    )
+    cfg2 = load_parameters(str(ini))
+    assert cfg2.use_crf is False and cfg2.tagging_format == "bio"
+    # unknown reference keys accepted and recorded, not dropped
+    assert cfg2.extra["dropout_rate"] == "0.5"
+    # CLI override wins (reference main.py behavior)
+    cfg3 = load_parameters(str(ini), overrides={"use_crf": "true"})
+    assert cfg3.use_crf is True
+
+
+def test_config_compat_check(tmp_path):
+    with pytest.raises(ValueError, match="tagging_format"):
+        load_parameters(None, overrides={"tagging_format": "iob2"})
+    with pytest.raises(ValueError, match="token_embedding_dimension"):
+        load_parameters(None, overrides={"token_embedding_dimension": "300"})
