@@ -51,7 +51,10 @@ def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
         )
     )
     w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def knn_join_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -68,7 +71,10 @@ def knn_join_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFram
         F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def hyperplane(plane_id: int, dim: int):

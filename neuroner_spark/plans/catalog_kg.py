@@ -185,7 +185,7 @@ SQL_LINK_BEST = _ngram_cte() + """
          c.prior * (1.0 + (s.n_surfaces - 1) * 0.5) AS score
   FROM cands c JOIN support s ON c.doc_id = s.doc_id AND c.entity_id = s.entity_id
 )
-SELECT doc_id, pos, surface_norm, entity_id, round(score, 6) AS score FROM (
+SELECT doc_id, pos, surface_norm, CAST(entity_id AS BIGINT) AS entity_id, round(score, 6) AS score FROM (
   SELECT *, row_number() OVER (PARTITION BY doc_id, sent_id, pos
             ORDER BY score DESC, entity_id ASC) AS rn
   FROM scored

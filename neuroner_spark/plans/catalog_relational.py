@@ -255,7 +255,12 @@ def q_top3_orders_per_customer(spark, sf_dir):
     return (
         o.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
-        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("o_totalprice"), "rank")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rank").cast("long").alias("rank"),
+        )
     )
 
 
@@ -368,14 +373,14 @@ FROM events GROUP BY event_type
 def q_events_per_day(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return (
-        ev.groupBy(F.date_trunc("day", "ts").alias("day"))
+        ev.groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"))
         .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
     )
 
 
 SQL_EVENTS_PER_DAY = """
-SELECT date_trunc('day', ts) AS day, count(*) AS n, round(sum(value), 2) AS total_value
-FROM events GROUP BY date_trunc('day', ts)
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1
 """
 
 
@@ -444,7 +449,7 @@ def q_max_token_len(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     return toks.agg(
-        F.max(F.length("token")).alias("max_tok_len"),
+        F.max(F.length("token")).cast("long").alias("max_tok_len"),
         F.count("*").alias("n_tokens"),
     )
 
