@@ -54,7 +54,7 @@ TAGGED_SCHEMA = T.StructType(
 )
 
 
-def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, vocab_series_map, arrays):
+def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, lookup_unique, arrays):
     """Vectorized encode: flat token array (all sentences concatenated)
     + per-sentence lengths -> (token_ids [B,T], char_feat [B,T,50],
     row_idx, col_idx).
@@ -70,12 +70,12 @@ def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, vocab_series_map,
     offsets = np.concatenate([[0], np.cumsum(lengths)[:-1]])
     col_idx = np.arange(N) - np.repeat(offsets, lengths)
 
-    ids_flat = vocab_series_map(flat_tokens)
-    token_ids = np.zeros((B, Tmax), dtype=np.int64)
-    token_ids[row_idx, col_idx] = ids_flat
-
-    # unique words -> fixed-width unicode view -> codepoint matrix
+    # unique words once: vocab lookup AND char encoding both depend only
+    # on the surface, so both run per-unique-token and scatter back
     uniq, inv = np.unique(flat_tokens.astype("U"), return_inverse=True)
+    ids_u = lookup_unique(uniq)
+    token_ids = np.zeros((B, Tmax), dtype=np.int64)
+    token_ids[row_idx, col_idx] = ids_u[inv]
     u = uniq.astype(f"U{MAX_WORD_LEN}")
     wl_u = np.char.str_len(u).astype(np.int64)  # = min(len(tok), W)
     W_eff = max(1, int(wl_u.max()) if len(wl_u) else 1)
@@ -96,11 +96,26 @@ def make_tag_fn(bundle_bc, use_crf: bool = True):
         bundle = bundle_bc.value
         arrays, vocab = bundle["arrays"], bundle["vocab"]
         labels_arr = np.asarray(bundle["labels"] + ["O", "O"], dtype=object)
-        vocab_s = pd.Series(vocab)
+        if vocab is None:
+            # feature-hashed mode: no vocabulary at all (collect-free
+            # encoder for 10^12-doc corpora); stable across processes
+            import zlib
 
-        def vmap(flat):
-            s = pd.Series(flat, dtype=object).map(vocab_s)
-            return s.fillna(0).to_numpy(dtype=np.int64)
+            n = bundle["vocab_size"]
+
+            def vmap(uniq):
+                return np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) % (n - 1) + 1 for t in uniq),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+
+        else:
+            vocab_s = pd.Series(vocab)
+
+            def vmap(uniq):
+                s = pd.Series(uniq, dtype=object).map(vocab_s)
+                return s.fillna(0).to_numpy(dtype=np.int64)
 
         for pdf in batches:
             if len(pdf) == 0:

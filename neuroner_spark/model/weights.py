@@ -62,15 +62,25 @@ def _shapes(vocab_size: int):
     ]
 
 
-def make_bundle(vocab: dict[str, int], seed: int = 42) -> dict:
-    """Deterministic weights + vocab + labels. vocab maps token->index,
-    index 0 reserved for UNK (reference UNK_TOKEN_INDEX=0)."""
+def make_bundle(vocab: dict[str, int] | int, seed: int = 42) -> dict:
+    """Deterministic weights + vocab + labels.
+
+    vocab: token->index dict (index 0 reserved for UNK, reference
+    UNK_TOKEN_INDEX=0), or an int for FEATURE-HASHED mode — at 10^12
+    docs there is no driver-side vocabulary collect; tokens map to
+    ``crc32(token) % (n-1) + 1`` and the embedding table has a fixed
+    ``n`` rows. Hashed mode trades rare-token collisions for a
+    completely shuffle-free, collect-free encoder."""
     rng = np.random.default_rng(seed)
+    if isinstance(vocab, int):
+        vocab_size, vocab_map = vocab, None
+    else:
+        vocab_size, vocab_map = len(vocab) + 1, dict(vocab)
     arrays = {
         name: rng.normal(0, 0.1, shape).astype(np.float32)
-        for name, shape in _shapes(len(vocab) + 1)
+        for name, shape in _shapes(vocab_size)
     }
-    return {"arrays": arrays, "vocab": dict(vocab), "labels": list(LABELS)}
+    return {"arrays": arrays, "vocab": vocab_map, "vocab_size": vocab_size, "labels": list(LABELS)}
 
 
 def build_vocab(tokens: list[str]) -> dict[str, int]:
@@ -91,6 +101,8 @@ def save_bundle(bundle: dict, path: str) -> None:
         json.dump(bundle["vocab"], f)
     with open(os.path.join(path, "labels.json"), "w") as f:
         json.dump(bundle["labels"], f)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"vocab_size": bundle.get("vocab_size")}, f)
 
 
 def load_bundle(path: str, reload_flags: dict | None = None, base: dict | None = None) -> dict:
@@ -107,4 +119,11 @@ def load_bundle(path: str, reload_flags: dict | None = None, base: dict | None =
         vocab = json.load(f)
     with open(os.path.join(path, "labels.json")) as f:
         labels = json.load(f)
-    return {"arrays": arrays, "vocab": vocab, "labels": labels}
+    meta_path = os.path.join(path, "meta.json")
+    vocab_size = None
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            vocab_size = json.load(f).get("vocab_size")
+    if vocab_size is None:
+        vocab_size = (len(vocab) + 1) if vocab else arrays["token_emb"].shape[0]
+    return {"arrays": arrays, "vocab": vocab, "vocab_size": vocab_size, "labels": labels}

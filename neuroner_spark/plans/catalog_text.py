@@ -287,8 +287,41 @@ FROM dots GROUP BY vec_id
 """
 
 
+# --- embedding-cosine near-dup pairs, label-blocked (the brief's
+# embedding near-dup dedup; blocking key keeps the join linear per block)
+def q_dedup_embedding(spark, sf_dir):
+    from neuroner_spark.operators.similarity import cosine
+
+    emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+    a = emb.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("emb_a"))
+    b = emb.select(F.col("vec_id").alias("b"), "label", F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, "label").filter(F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            "label", "a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= 0.2)
+    )
+
+
+SQL_DEDUP_EMBEDDING = """
+WITH expanded AS (
+  SELECT x.label, x.vec_id AS a, y.vec_id AS b,
+         unnest(x.embedding)::DOUBLE AS va,
+         unnest(y.embedding)::DOUBLE AS vb
+  FROM embeddings x JOIN embeddings y ON x.label = y.label AND x.vec_id < y.vec_id
+), dots AS (
+  SELECT label, a, b, sum(va*vb) AS dot, sqrt(sum(va*va)) AS na, sqrt(sum(vb*vb)) AS nb
+  FROM expanded GROUP BY label, a, b
+)
+SELECT label, a, b, round(dot / (na * nb), 6) AS cos_sim
+FROM dots WHERE round(dot / (na * nb), 6) >= 0.2
+"""
+
+
 QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),

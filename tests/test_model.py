@@ -184,3 +184,28 @@ def test_tagger_no_crf_runs(spark):
     c = {(r["doc_id"], r["sent_id"], r["pos"]): r["label"] for r in crf}
     n = {(r["doc_id"], r["sent_id"], r["pos"]): r["label"] for r in nocrf}
     assert any(c[k] != n[k] for k in c)
+
+
+def test_hashed_vocab_mode(spark, tmp_path):
+    """Feature-hashed encoder: no vocabulary collect (100 TB mode)."""
+    from neuroner_spark.fixtures.gen import pages_df
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.model.tagger import tag_tokens
+    from pyspark.sql import functions as F
+
+    pages = pages_df(spark, 20).select(F.col("url").alias("doc_id"), "text")
+    tokens = tokenize(pages)
+    bundle = make_bundle(4096, seed=42)  # int -> hashed mode
+    assert bundle["vocab"] is None and bundle["vocab_size"] == 4096
+    out1 = tag_tokens(spark, tokens, bundle, n_partitions=4).orderBy(
+        "doc_id", "sent_id", "pos"
+    ).collect()
+    out2 = tag_tokens(spark, tokens, bundle, n_partitions=2).orderBy(
+        "doc_id", "sent_id", "pos"
+    ).collect()
+    assert len(out1) == tokens.count() > 0
+    assert [r["label"] for r in out1] == [r["label"] for r in out2]
+    # save/load round-trips hashed mode
+    save_bundle(bundle, str(tmp_path / "hm"))
+    b2 = load_bundle(str(tmp_path / "hm"))
+    assert b2["vocab"] is None and b2["vocab_size"] == 4096
