@@ -426,6 +426,72 @@ FROM counts GROUP BY 1
 """
 
 
+# --- GROUPING SETS (exposed via Spark SQL — still our declarative plan)
+def q_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "events").createOrReplaceTempView("_ev")
+    return spark.sql(
+        """
+        SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ub,
+               count(*) AS n, round(sum(value), 2) AS total_value
+        FROM _ev
+        GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 3 AS BIGINT)), (event_type, CAST(user_id % 3 AS BIGINT)))
+        """
+    )
+
+
+SQL_GROUPING_SETS = """
+SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ub,
+       count(*) AS n, round(sum(value), 2) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 3 AS BIGINT)), (event_type, CAST(user_id % 3 AS BIGINT)))
+"""
+
+
+# --- statistical aggregates: median / stddev / min / max
+def q_value_stats(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.median("value"), 4).alias("med"),
+        F.round(F.stddev_samp("value"), 4).alias("sd"),
+        F.round(F.min("value"), 2).alias("lo"),
+        F.round(F.max("value"), 2).alias("hi"),
+    )
+
+
+SQL_VALUE_STATS = """
+SELECT event_type,
+       round(median(value), 4) AS med,
+       round(stddev_samp(value), 4) AS sd,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
+FROM events GROUP BY event_type
+"""
+
+
+# --- string function battery: case, substr, length, levenshtein, concat
+def q_string_funcs(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper(F.col("c_name")).alias("up"),
+        F.substring(F.col("c_name"), 1, 8).alias("pre"),
+        F.length("c_name").cast("long").alias("len"),
+        F.levenshtein(F.col("c_name"), F.lit("Customer#0")).cast("long").alias("lev"),
+        F.concat_ws("|", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("tag"),
+    )
+
+
+SQL_STRING_FUNCS = """
+SELECT c_custkey,
+       upper(c_name) AS up,
+       substring(c_name, 1, 8) AS pre,
+       CAST(length(c_name) AS BIGINT) AS len,
+       CAST(levenshtein(c_name, 'Customer#0') AS BIGINT) AS lev,
+       c_mktsegment || '|' || CAST(c_nationkey AS VARCHAR) AS tag
+FROM customer
+"""
+
+
 # --- U1: vocab union across corpora (documents tokens ∪ part-name words)
 def q_vocab_union(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -465,6 +531,9 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "vocab_union": (q_vocab_union, SQL_VOCAB_UNION),
     "max_token_len": (q_max_token_len, SQL_MAX_TOKEN_LEN),
+    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "value_stats": (q_value_stats, SQL_VALUE_STATS),
+    "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "region_acctbal": (q_region_acctbal, SQL_REGION_ACCTBAL),
     "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
     "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
