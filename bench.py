@@ -133,6 +133,14 @@ def main() -> None:
         "n_docs": n_docs,
         "docs_per_sec": round(n_docs / timings["neural_tagger"], 2),
     }
+    # attach the latest N->4N scaling evidence (scripts/bench_scaling.py)
+    import re
+
+    md = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "BASELINE.md")
+    if os.path.exists(md):
+        m = re.search(r"= (\d+\.\d+)\*\*", open(md).read())
+        if m:
+            out["scaling_efficiency"] = float(m.group(1))
     print(json.dumps(out))
 
 

@@ -209,3 +209,33 @@ def test_hashed_vocab_mode(spark, tmp_path):
     save_bundle(bundle, str(tmp_path / "hm"))
     b2 = load_bundle(str(tmp_path / "hm"))
     assert b2["vocab"] is None and b2["vocab_size"] == 4096
+
+
+def test_salted_repartition_defuses_giant_doc_skew(spark):
+    """north_rule skew: one pathological doc (2000 sentences) must not
+    hot-spot one partition after the salted repartition."""
+    from neuroner_spark.model.tagger import sentences_from_tokens
+    from pyspark.sql import functions as F
+
+    rows = []
+    for s in range(2000):  # one giant doc
+        for p in range(5):
+            rows.append(("giant", s, p, f"t{p}", p, p + 1))
+    for d in range(100):  # plus small docs
+        rows.append((f"d{d}", 0, 0, "x", 0, 1))
+    tokens = spark.createDataFrame(
+        rows, "doc_id string, sent_id long, pos int, token string, start long, end long"
+    )
+    sents = sentences_from_tokens(tokens).repartition(8, F.xxhash64("doc_id", "sent_id"))
+    hist = (
+        sents.groupBy(F.spark_partition_id().alias("pid")).count().collect()
+    )
+    counts = [r["count"] for r in hist]
+    assert len(counts) == 8
+    mean = sum(counts) / len(counts)
+    assert max(counts) <= 2 * mean, counts
+    # contrast: partitioning by doc_id alone WOULD hot-spot (the giant
+    # doc lands in a single partition)
+    by_doc = sentences_from_tokens(tokens).repartition(8, F.col("doc_id"))
+    worst = max(r["count"] for r in by_doc.groupBy(F.spark_partition_id()).count().collect())
+    assert worst >= 2000
