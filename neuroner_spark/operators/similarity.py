@@ -91,32 +91,46 @@ def hyperplane(plane_id: int, dim: int):
     )
 
 
-def lsh_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64) -> DataFrame:
+def lsh_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, table: int = 0) -> DataFrame:
     """Random-hyperplane signature: sign bit per plane packed to a long.
+    ``table`` offsets the plane ids so multiple independent hash tables
+    can be built from the same deterministic family.
     Output: (vec_id, sig)."""
     sig = F.lit(0).cast("long")
     for p in range(n_planes):
-        bit = F.when(_dot(F.col("embedding"), hyperplane(p, dim)) > 0, F.lit(1 << p).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        bit = F.when(
+            _dot(F.col("embedding"), hyperplane(table * n_planes + p, dim)) > 0,
+            F.lit(1 << p).cast("long"),
+        ).otherwise(F.lit(0).cast("long"))
         sig = sig + bit
     return embeddings.select("vec_id", sig.alias("sig"))
 
 
-def lsh_bucket_pairs(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, min_cos: float = 0.9) -> DataFrame:
-    """ANN candidate pairs: same LSH bucket, verified by exact cosine.
-    Output: (a, b, cos_sim) with a < b and cos_sim >= min_cos."""
-    sig = lsh_signatures(embeddings, n_planes, dim)
-    with_emb = sig.join(embeddings.select("vec_id", "embedding"), "vec_id")
-    a = with_emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"), "sig")
-    b = with_emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"), "sig")
-    pairs = a.join(b, "sig").filter(F.col("a") < F.col("b"))
+def lsh_bucket_pairs(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    min_cos: float = 0.9,
+    n_tables: int = 4,
+) -> DataFrame:
+    """ANN candidate pairs: same bucket in ANY of ``n_tables``
+    independent hyperplane tables (OR-amplification — a single table
+    misses a θ-close pair with prob ≈ n_planes·θ/π, so recall is tuned
+    by adding tables, never by widening buckets), then verified by
+    exact cosine. Output: (a, b, cos_sim) with a < b, cos >= min_cos."""
+    emb = embeddings.select("vec_id", "embedding")
+    sigs = None
+    for t in range(n_tables):
+        s = lsh_signatures(emb, n_planes, dim, table=t).withColumn("table", F.lit(t))
+        sigs = s if sigs is None else sigs.unionByName(s)
+    a = sigs.select(F.col("vec_id").alias("a"), "table", "sig")
+    b = sigs.select(F.col("vec_id").alias("b"), "table", "sig")
+    cand = a.join(b, ["table", "sig"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
     return (
-        pairs.select(
-            "a",
-            "b",
-            F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"),
-        )
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cos)
-        .distinct()
     )

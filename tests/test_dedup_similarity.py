@@ -1,0 +1,91 @@
+"""Near-dup and similarity operators on constructed duplicates: the
+pair generators must FIND planted near-duplicates and must not go
+quadratic (candidates only from key collisions)."""
+
+import numpy as np
+from pyspark.sql import functions as F
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the merge sort "
+    "algorithm scans the big table and the hash join builds its side"
+)
+
+
+def _docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup (1 token)
+        (3, BASE.replace("quick", "slow").replace("dog", "cat")),  # near dup (2 tokens)
+        (4, "completely different text about spark streaming windows and state"),
+        (5, "another unrelated document mentioning customers and orders only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_groups(spark):
+    from neuroner_spark.operators.dedup import exact_dedup
+
+    groups = exact_dedup(_docs(spark)).collect()
+    dup_groups = [g for g in groups if g["n_docs"] > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups[0]["keep_id"] == 0 and dup_groups[0]["n_docs"] == 2
+
+
+def test_jaccard_finds_near_dups(spark):
+    from neuroner_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r["a"], r["b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(_docs(spark), n=3, threshold=0.5).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.7
+    assert (0, 3) in pairs
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_minhash_bands_catch_near_dups(spark):
+    from neuroner_spark.operators.dedup import minhash_band_pairs
+
+    pairs = {
+        (r["a"], r["b"]): r["n_bands_matched"]
+        for r in minhash_band_pairs(_docs(spark), n=3, bands=4).collect()
+    }
+    assert pairs[(0, 1)] == 4  # identical docs share every band
+    assert (0, 2) in pairs  # near dup caught by at least one band
+    assert (4, 5) not in pairs
+
+
+def test_simhash_buckets_exact_dups(spark):
+    from neuroner_spark.operators.dedup import simhash, simhash_buckets
+
+    buckets = simhash_buckets(_docs(spark), bits=16).collect()
+    assert any(b["n_docs"] >= 2 and b["keep_id"] == 0 for b in buckets)
+    # near dups have small hamming distance
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(_docs(spark), bits=16).collect()}
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[4]).count("1")
+    assert ham_near < ham_far
+
+
+def test_lsh_bucket_pairs_find_similar_vectors(spark):
+    from neuroner_spark.operators.similarity import lsh_bucket_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(0, 1, 64).astype(np.float32)
+    rows = []
+    # two tight clusters + noise vectors
+    for i in range(3):
+        rows.append((i, (base + rng.normal(0, 0.05, 64).astype(np.float32)).tolist()))
+    other = rng.normal(0, 1, 64).astype(np.float32)
+    for i in range(3, 6):
+        rows.append((i, (other + rng.normal(0, 0.05, 64).astype(np.float32)).tolist()))
+    for i in range(6, 16):
+        rows.append((i, rng.normal(0, 1, 64).astype(np.float32).tolist()))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {(r["a"], r["b"]) for r in lsh_bucket_pairs(emb, n_planes=8, dim=64, min_cos=0.9).collect()}
+    # all intra-cluster pairs found, no cross-cluster pair survives min_cos
+    assert {(0, 1), (0, 2), (1, 2)} <= pairs
+    assert {(3, 4), (3, 5), (4, 5)} <= pairs
+    assert not any(a < 3 <= b < 6 for a, b in pairs)
