@@ -426,6 +426,69 @@ FROM counts GROUP BY 1
 """
 
 
+# --- TPC-H-Q3-style: 3-way join, filter both sides, top-k by revenue
+def q_shipping_priority(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        c.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(o, c.c_custkey == o.o_custkey)
+        .filter(F.col("o_orderdate") < "1995-06-01")
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_shipdate") > "1995-06-01")
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SQL_SHIPPING_PRIORITY = """
+SELECT o_orderkey, o_orderdate,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-06-01'
+  AND l_shipdate > TIMESTAMP '1995-06-01'
+GROUP BY o_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+# --- TPC-H-Q5-style: snowflake join through supplier+customer to region
+def q_local_supplier_volume(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+SQL_LOCAL_SUPPLIER_VOLUME = """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+"""
+
+
 # --- GROUPING SETS (exposed via Spark SQL — still our declarative plan)
 def q_grouping_sets(spark, sf_dir):
     _t(spark, sf_dir, "events").createOrReplaceTempView("_ev")
@@ -531,6 +594,8 @@ QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "vocab_union": (q_vocab_union, SQL_VOCAB_UNION),
     "max_token_len": (q_max_token_len, SQL_MAX_TOKEN_LEN),
+    "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
+    "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
     "value_stats": (q_value_stats, SQL_VALUE_STATS),
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
