@@ -22,14 +22,28 @@ from neuroner_spark.functions.normalize import surface_norm
 MAX_N = 3
 
 
-def ngram_candidates(tokens: DataFrame, max_n: int = MAX_N) -> DataFrame:
+def ngram_candidates(tokens: DataFrame, max_n: int = MAX_N, anchor_words: DataFrame | None = None) -> DataFrame:
     """tokens -> candidate n-grams (doc_id, sent_id, pos, n, surface,
-    surface_norm, start, end) for n = 1..max_n within each sentence."""
+    surface_norm, start, end) for n = 1..max_n within each sentence.
+
+    anchor_words: optional broadcast (first_word) frame — a matching
+    n-gram's normalized FIRST token must equal the first word of some
+    alias, so positions failing that test are dropped BEFORE the
+    explode (after the lead window, which needs full sentence order).
+    On web text with a large dictionary this cuts the exploded volume
+    by orders of magnitude; semantics are unchanged.
+    """
     w = Window.partitionBy("doc_id", "sent_id").orderBy("pos")
     df = tokens
     for i in range(1, max_n):
         df = df.withColumn(f"_tok{i}", F.lead("token", i).over(w)).withColumn(
             f"_end{i}", F.lead("end", i).over(w)
+        )
+    if anchor_words is not None:
+        df = df.join(
+            F.broadcast(anchor_words),
+            surface_norm(F.col("token")) == F.col("first_word"),
+            "left_semi",
         )
     grams = []
     for n in range(1, max_n + 1):
@@ -74,7 +88,10 @@ def match_mentions(tokens: DataFrame, alias_dict: DataFrame, max_n: int = MAX_N)
     within a sentence (greedy left-to-right like the reference's
     dictionary annotators).
     """
-    cands = ngram_candidates(tokens, max_n)
+    anchors = alias_dict.select(
+        F.element_at(F.split(F.col("alias_norm"), " "), 1).alias("first_word")
+    ).distinct()
+    cands = ngram_candidates(tokens, max_n, anchor_words=anchors)
     aliases = alias_dict.select("alias_norm").distinct()
     hits = cands.join(F.broadcast(aliases), cands.surface_norm == aliases.alias_norm, "inner").drop(
         aliases.alias_norm

@@ -19,14 +19,17 @@ from pyspark.sql import functions as F
 
 def exact_candidates(mentions: DataFrame, alias_dict: DataFrame) -> DataFrame:
     """J8: (mention cols..., entity_id, canonical_name, prior, method='exact')."""
-    links = alias_dict.select("alias_norm", "entity_id", "canonical_name", "prior")
-    # name-based join condition: df-attribute references break when the
-    # mentions frame is itself a join product (ambiguous lineage)
+    # rename the dictionary key before joining: the mentions frame is a
+    # join product that may itself carry an alias_norm lineage, and
+    # name-collisions make F.col references ambiguous
+    links = alias_dict.select(
+        F.col("alias_norm").alias("_alias_norm"), "entity_id", "canonical_name", "prior"
+    )
     return (
         mentions.join(
-            F.broadcast(links), F.col("surface_norm") == F.col("alias_norm"), "inner"
+            F.broadcast(links), F.col("surface_norm") == F.col("_alias_norm"), "inner"
         )
-        .drop("alias_norm")
+        .drop("_alias_norm")
         .withColumn("method", F.lit("exact"))
     )
 
