@@ -273,6 +273,72 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank FROM 
 """
 
 
+# --- RANGE frame: sliding 1-hour sum per user (time-range window)
+def q_range_frame(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w = Window.partitionBy("user_id").orderBy(epoch.alias("ep")).rangeBetween(-3600, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
+    )
+
+
+SQL_RANGE_FRAME = """
+SELECT user_id, event_id,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum
+FROM events
+"""
+
+
+# --- ranking battery: dense_rank / ntile / percent_rank
+def q_rank_battery(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.dense_rank().over(w).cast("long").alias("drank"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("prank"),
+    )
+
+
+SQL_RANK_BATTERY = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(dense_rank() OVER w AS BIGINT) AS drank,
+       CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+       round(percent_rank() OVER w, 6) AS prank
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+# --- pivot (explicit value list -> deterministic columns)
+def q_pivot_event_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.withColumn("ub", (F.col("user_id") % 4).cast("long"))
+        .groupBy("ub")
+        .pivot("event_type", types)
+        .agg(F.round(F.sum("value"), 2))
+    )
+
+
+SQL_PIVOT_EVENT_VALUES = """
+SELECT CAST(user_id % 4 AS BIGINT) AS ub,
+       round(sum(CASE WHEN event_type = 'click' THEN value END), 2) AS click,
+       round(sum(CASE WHEN event_type = 'view' THEN value END), 2) AS view,
+       round(sum(CASE WHEN event_type = 'purchase' THEN value END), 2) AS purchase,
+       round(sum(CASE WHEN event_type = 'signup' THEN value END), 2) AS signup,
+       round(sum(CASE WHEN event_type = 'error' THEN value END), 2) AS error
+FROM events GROUP BY 1
+"""
+
+
 # --- rollup / cube (free Spark built-ins, exposed for coverage)
 def q_rollup_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
@@ -608,6 +674,9 @@ QUERIES = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "top3_orders_per_customer": (q_top3_orders_per_customer, SQL_TOP3_ORDERS_PER_CUSTOMER),
+    "range_frame": (q_range_frame, SQL_RANGE_FRAME),
+    "rank_battery": (q_rank_battery, SQL_RANK_BATTERY),
+    "pivot_event_values": (q_pivot_event_values, SQL_PIVOT_EVENT_VALUES),
     "rollup_docs": (q_rollup_docs, SQL_ROLLUP_DOCS),
     "cube_events": (q_cube_events, SQL_CUBE_EVENTS),
     "nations_intersect": (q_nations_intersect, SQL_NATIONS_INTERSECT),
