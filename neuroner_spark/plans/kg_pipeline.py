@@ -34,6 +34,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from neuroner_spark.io import read_table, write_table
 from neuroner_spark.functions.normalize import normalize_whitespace
 from neuroner_spark.functions.tokenize import tokenize
 from neuroner_spark.operators.components import connected_components
@@ -50,9 +51,9 @@ def _manifest_path(out_dir: str, stage: str) -> str:
 def _write_stage(df: DataFrame, out_dir: str, stage: str, fingerprint: str, lineage: list[dict]) -> DataFrame:
     path = os.path.join(out_dir, stage)
     t0 = time.time()
-    df.write.mode("overwrite").parquet(path)
+    write_table(df, path)
     spark = df.sparkSession
-    out = spark.read.parquet(path)
+    out = read_table(spark, path)
     # per-partition lineage (north_rule): row-count histogram over the
     # materialized partitions — the skew instrument; one cheap agg on
     # data already read for the row count
@@ -93,7 +94,7 @@ def _try_resume(spark: SparkSession, out_dir: str, stage: str, fingerprint: str,
         return None
     manifest["resumed"] = True
     lineage.append(manifest)
-    return spark.read.parquet(os.path.join(out_dir, stage))
+    return read_table(spark, os.path.join(out_dir, stage))
 
 
 def _fingerprint(df: DataFrame, extra: str = "") -> str:
