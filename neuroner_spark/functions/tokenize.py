@@ -68,15 +68,47 @@ def tokenize_text(text: str) -> list[tuple[int, int, str, int, int]]:
 def _tokenize_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
+    # columnar assembly (lists per column, doc ids via repeat) — ~2x
+    # cheaper than building a tuple per token
+    import numpy as np
+
     for pdf in batches:
-        rows = []
+        doc_ids, counts = [], []
+        sids: list[int] = []
+        poss: list[int] = []
+        toks: list[str] = []
+        starts: list[int] = []
+        ends: list[int] = []
         for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
             if text is None:
                 continue
-            for sent_id, pos, tok, s, e in tokenize_text(text):
-                rows.append((doc_id, sent_id, pos, tok, s, e))
+            sent_id = 0
+            pos = 0
+            n = 0
+            for m in TOKEN_RE.finditer(text):
+                tok = m.group(0)
+                sids.append(sent_id)
+                poss.append(pos)
+                toks.append(tok)
+                starts.append(m.start())
+                ends.append(m.end())
+                n += 1
+                if tok in SENT_END:
+                    sent_id += 1
+                    pos = 0
+                else:
+                    pos += 1
+            doc_ids.append(doc_id)
+            counts.append(n)
         yield pd.DataFrame(
-            rows, columns=["doc_id", "sent_id", "pos", "token", "start", "end"]
+            {
+                "doc_id": np.repeat(np.asarray(doc_ids, dtype=object), counts),
+                "sent_id": np.asarray(sids, dtype=np.int64),
+                "pos": np.asarray(poss, dtype=np.int32),
+                "token": toks,
+                "start": np.asarray(starts, dtype=np.int64),
+                "end": np.asarray(ends, dtype=np.int64),
+            }
         )
 
 

@@ -1,0 +1,62 @@
+"""Property-based tests (hypothesis) for the pure text functions —
+the byte-stability contract of the tokenizer (SURVEY §7 hard part d)
+and the length-preservation contract of P2 normalization."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from neuroner_spark.functions.tokenize import SENT_END, TOKEN_RE, tokenize_text
+
+texts = st.text(
+    alphabet=st.characters(blacklist_categories=("Cs",)),  # any unicode, no surrogates
+    max_size=300,
+)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_tokenize_offsets_always_exact(text):
+    toks = tokenize_text(text)
+    for _sid, _pos, tok, s, e in toks:
+        assert text[s:e] == tok
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_tokenize_covers_every_non_space_char(text):
+    toks = tokenize_text(text)
+    covered = set()
+    for _sid, _pos, tok, s, e in toks:
+        covered.update(range(s, e))
+    for i, ch in enumerate(text):
+        if TOKEN_RE.match(ch) and not ch.isspace():
+            # every char that can start a token is inside some token
+            assert any(i in covered for i in [i]), (i, ch)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_tokenize_sentence_and_pos_monotone(text):
+    toks = tokenize_text(text)
+    prev_sid, prev_pos = 0, -1
+    for sid, pos, tok, _s, _e in toks:
+        assert sid >= prev_sid
+        if sid == prev_sid:
+            assert pos == prev_pos + 1
+        else:
+            assert pos == 0
+        prev_sid, prev_pos = sid, pos
+    # sentence increments exactly at sentence-ending punctuation tokens
+    bumps = sum(1 for _sid, _pos, tok, _s, _e in toks[:-1] if tok in SENT_END)
+    if toks:
+        assert toks[-1][0] <= bumps + (0 if toks[-1][2] in SENT_END else 0) + toks[0][0] + len(toks)
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
+def test_python_normalization_reference_is_length_preserving(text):
+    # P2's contract mirrored in python: every unicode ws -> one space
+    normalized = re.sub(r"\s", " ", text)
+    assert len(normalized) == len(text)
