@@ -92,7 +92,7 @@ def main() -> None:
     import sys as _sys
 
     n = int(_sys.argv[1]) if len(_sys.argv) > 1 else 2
-    reps_n = int(_sys.argv[2]) if len(_sys.argv) > 2 else 8
+    reps_n = int(_sys.argv[2]) if len(_sys.argv) > 2 else 16
     r8 = run(n, reps_n)
     r32 = run(4 * n, reps_n)
     eff = round((r8["wall_s"] / r32["wall_s"]) / 4.0, 3)
