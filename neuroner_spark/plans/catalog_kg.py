@@ -213,6 +213,56 @@ def q_neural_tag_spans(spark, sf_dir):
     )
 
 
+# WITH RECURSIVE must head the statement for the closure CTE below
+SQL_KG_TRIPLES = _ngram_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
+, cands AS (
+  SELECT m.doc_id, m.sent_id, m.pos, m.surface_norm, a.entity_id, a.prior
+  FROM mentions m JOIN alias_dict a ON m.surface_norm = a.alias_norm
+), support AS (
+  SELECT doc_id, entity_id, count(DISTINCT surface_norm) AS n_surfaces
+  FROM cands GROUP BY doc_id, entity_id
+), best AS (
+  SELECT doc_id, sent_id, pos, entity_id FROM (
+    SELECT c.doc_id, c.sent_id, c.pos, c.entity_id,
+           row_number() OVER (PARTITION BY c.doc_id, c.sent_id, c.pos
+             ORDER BY c.prior * (1.0 + (s.n_surfaces - 1) * 0.5) DESC, c.entity_id ASC) AS rn
+    FROM cands c JOIN support s ON c.doc_id = s.doc_id AND c.entity_id = s.entity_id
+  ) WHERE rn = 1
+), sameas AS (  -- entities sharing an alias -> edge to the group minimum
+  SELECT DISTINCT least(mn, entity_id) AS src, greatest(mn, entity_id) AS dst FROM (
+    SELECT entity_id, min(entity_id) OVER (PARTITION BY alias_norm) AS mn FROM alias_dict
+  ) WHERE mn <> entity_id
+), reach(node, r) AS (  -- connected components via transitive closure
+  SELECT src AS node, src FROM (SELECT src, dst FROM sameas UNION SELECT dst, src FROM sameas)
+  UNION
+  SELECT e.src, reach.r
+  FROM (SELECT src, dst FROM sameas UNION SELECT dst, src FROM sameas) e
+  JOIN reach ON e.dst = reach.node
+), canon AS (
+  SELECT a.entity_id, coalesce(c.component, a.entity_id) AS canonical_id
+  FROM (SELECT DISTINCT entity_id FROM alias_dict) a
+  LEFT JOIN (SELECT node, min(r) AS component FROM reach GROUP BY node) c
+    ON a.entity_id = c.node
+), m AS (
+  SELECT b.doc_id, b.sent_id, b.pos, CAST(cn.canonical_id AS BIGINT) AS ent
+  FROM best b JOIN canon cn ON b.entity_id = cn.entity_id
+), sent_pairs AS (
+  SELECT x.doc_id, x.pos AS pos_a, y.pos AS pos_b, x.ent AS subj, y.ent AS obj
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.sent_id = y.sent_id AND x.ent < y.ent
+), trip AS (
+  SELECT DISTINCT doc_id, subj, obj, 'same_sentence_as' AS pred FROM sent_pairs
+  UNION ALL
+  SELECT DISTINCT doc_id, subj, obj, 'near' FROM sent_pairs WHERE abs(pos_a - pos_b) <= 5
+  UNION ALL
+  SELECT DISTINCT x.doc_id, x.subj, y.obj, 'co_occurs_with'
+  FROM (SELECT DISTINCT doc_id, subj FROM (SELECT doc_id, ent AS subj FROM m)) x
+  JOIN (SELECT DISTINCT doc_id, obj FROM (SELECT doc_id, ent AS obj FROM m)) y
+    ON x.doc_id = y.doc_id AND x.subj < y.obj
+)
+SELECT subj, pred, obj, doc_id AS url FROM trip
+"""
+
+
 def q_kg_triples(spark, sf_dir):
     """Full gazetteer KG pipeline over documents -> distinct triples."""
     from neuroner_spark.plans.kg_pipeline import canonical_map, triples_from_linked
@@ -234,5 +284,5 @@ QUERIES = {
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER_MENTIONS),
     "link_best": (q_link_best, SQL_LINK_BEST),
     "neural_tag_spans": (q_neural_tag_spans, None),
-    "kg_triples": (q_kg_triples, None),
+    "kg_triples": (q_kg_triples, SQL_KG_TRIPLES),
 }
