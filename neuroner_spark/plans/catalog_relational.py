@@ -273,6 +273,35 @@ SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS o_totalprice, rank FROM 
 """
 
 
+# --- array-function battery over the embeddings list column
+def q_array_funcs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first"),
+        F.round(
+            F.aggregate(
+                F.slice("embedding", 1, 8), F.lit(0.0), lambda a, v: a + v.cast("double")
+            ),
+            6,
+        ).alias("head_sum"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("vmax"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("vmin"),
+    )
+
+
+SQL_ARRAY_FUNCS = """
+SELECT vec_id,
+       CAST(len(embedding) AS BIGINT) AS dim,
+       round(embedding[1]::DOUBLE, 6) AS first,
+       round(list_sum(list_transform(embedding[1:8], x -> x::DOUBLE)), 6) AS head_sum,
+       round(list_max(embedding)::DOUBLE, 6) AS vmax,
+       round(list_min(embedding)::DOUBLE, 6) AS vmin
+FROM embeddings
+"""
+
+
 # --- RANGE frame: sliding 1-hour sum per user (time-range window)
 def q_range_frame(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
@@ -674,6 +703,7 @@ QUERIES = {
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "top3_orders_per_customer": (q_top3_orders_per_customer, SQL_TOP3_ORDERS_PER_CUSTOMER),
+    "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "range_frame": (q_range_frame, SQL_RANGE_FRAME),
     "rank_battery": (q_rank_battery, SQL_RANK_BATTERY),
     "pivot_event_values": (q_pivot_event_values, SQL_PIVOT_EVENT_VALUES),

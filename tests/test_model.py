@@ -205,6 +205,10 @@ def test_hashed_vocab_mode(spark, tmp_path):
     ).collect()
     assert len(out1) == tokens.count() > 0
     assert [r["label"] for r in out1] == [r["label"] for r in out2]
+    digest = hashlib.md5(
+        "|".join(f"{r['doc_id']}:{r['sent_id']}:{r['pos']}:{r['label']}" for r in out1).encode()
+    ).hexdigest()
+    assert digest == "18ace5f8dc3787496e52875c04e092f1"  # frozen golden (hashed mode)
     # save/load round-trips hashed mode
     save_bundle(bundle, str(tmp_path / "hm"))
     b2 = load_bundle(str(tmp_path / "hm"))
