@@ -101,13 +101,20 @@ def forward_scores_feat(token_ids, char_feat, lengths, arrays):
     this cuts the char-LSTM work by orders of magnitude vs the
     reference's per-occurrence encoding — bit-identical output).
     """
+    ff = forward_features(token_ids, char_feat, lengths, arrays)
+    return ff @ arrays["out_W"] + arrays["out_b"]  # [B,T,C+2]
+
+
+def forward_features(token_ids, char_feat, lengths, arrays):
+    """Encoder up to the tanh FF layer: [B,T,FF_DIM]. Shared by
+    inference (then @ out_W) and output-layer training (fixed
+    features, trainable softmax head — model/train.py)."""
     tok_emb = arrays["token_emb"][token_ids]  # [B,T,100]
     x = np.concatenate([tok_emb, char_feat], axis=2)  # [B,T,150]
     fw_seq, _ = _lstm(x, lengths, arrays["token_lstm_fw_W"], arrays["token_lstm_fw_U"], arrays["token_lstm_fw_b"], 100)
     bw_seq, _ = _lstm(x, lengths, arrays["token_lstm_bw_W"], arrays["token_lstm_bw_U"], arrays["token_lstm_bw_b"], 100, reverse=True)
     h = np.concatenate([fw_seq, bw_seq], axis=2)  # [B,T,200]
-    ff = np.tanh(h @ arrays["ff_W"] + arrays["ff_b"])  # [B,T,100]
-    return ff @ arrays["out_W"] + arrays["out_b"]  # [B,T,C+2]
+    return np.tanh(h @ arrays["ff_W"] + arrays["ff_b"])  # [B,T,100]
 
 
 def argmax_decode(scores, lengths):

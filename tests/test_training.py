@@ -1,0 +1,79 @@
+"""Distributed output-layer training (O3/A8/F6/K4): loss decreases,
+accuracy beats the untrained head, early stopping and checkpoints work."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.tags import with_bioes
+from neuroner_spark.model.train import train_output_layer
+from neuroner_spark.model.weights import build_vocab, load_bundle, make_bundle
+from neuroner_spark.plans.catalog_ner import pseudo_tokens
+
+SF = "/root/testdata/sf0.001"
+
+
+def _corpus(spark):
+    toks = pseudo_tokens(spark, SF)
+    return with_bioes(toks, "gold", "label").select(
+        "doc_id", "sent_id", "pos", "token", "label"
+    )
+
+
+def _accuracy(spark, tokens, bundle):
+    from neuroner_spark.model.tagger import tag_tokens
+
+    tagged = tag_tokens(
+        spark, tokens.withColumn("start", F.col("pos").cast("long")).withColumn(
+            "end", (F.col("pos") + 1).cast("long")
+        ),
+        bundle,
+        n_partitions=4,
+        use_crf=False,
+    )
+    joined = tagged.withColumnRenamed("label", "pred").join(
+        tokens.select("doc_id", "sent_id", "pos", F.col("label").alias("gold")),
+        ["doc_id", "sent_id", "pos"],
+    )
+    return joined.agg(
+        F.avg((F.col("pred") == F.col("gold")).cast("double")).alias("acc")
+    ).collect()[0]["acc"]
+
+
+def test_training_reduces_loss_and_improves_accuracy(spark, tmp_path):
+    corpus = _corpus(spark)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    acc_before = _accuracy(spark, corpus, bundle)
+
+    ckpt = str(tmp_path / "ckpts")
+    res = train_output_layer(
+        spark, corpus, bundle, epochs=5, lr=1.0, patience=5, checkpoint_dir=ckpt
+    )
+    hist = res["history"]
+    assert len(hist) >= 3
+    # loss decreases epoch over epoch (convex head, fixed features)
+    losses = [h["loss"] for h in hist]
+    assert losses[-1] < losses[0]
+    assert all(b <= a + 1e-9 for a, b in zip(losses, losses[1:])), losses
+
+    acc_after = _accuracy(spark, corpus, res["bundle"])
+    assert acc_after > acc_before, (acc_before, acc_after)
+
+    # K4: per-epoch checkpoints exist and load
+    ck0 = load_bundle(os.path.join(ckpt, "epoch_0"))
+    assert ck0["arrays"]["out_W"].shape == bundle["arrays"]["out_W"].shape
+    # only the head was trained (transfer-style: encoder frozen)
+    import numpy as np
+
+    assert np.array_equal(res["bundle"]["arrays"]["ff_W"], bundle["arrays"]["ff_W"])
+    assert not np.array_equal(res["bundle"]["arrays"]["out_W"], bundle["arrays"]["out_W"])
+
+
+def test_early_stopping_triggers(spark):
+    corpus = _corpus(spark).limit(200)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    # lr=0 -> loss never improves -> patience stops after 1+patience epochs
+    res = train_output_layer(spark, corpus, bundle, epochs=10, lr=0.0, patience=2)
+    assert len(res["history"]) <= 4
