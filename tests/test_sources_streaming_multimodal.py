@@ -168,3 +168,43 @@ def test_brat_writer_roundtrip(spark, tmp_path):
     back = read_brat_ann(spark, out + "/doc_id=docA/*")
     rows = {r["ann_id"]: (r["type"], r["start"], r["end"], r["surface"]) for r in back.collect()}
     assert rows == {"T1": ("PER", 0, 5, "Alice"), "T2": ("LOC", 10, 15, "Paris")}
+
+
+def test_stateful_stream_dedup(spark, tmp_path):
+    """applyInPandasWithState: re-crawled urls are dropped across
+    micro-batches; state survives via the checkpoint within the run."""
+    from neuroner_spark.streaming.ingest import PAGES_SCHEMA
+    from neuroner_spark.streaming.stateful import dedup_pages_stream
+
+    landing = str(tmp_path / "landing")
+    os.makedirs(landing)
+    pages = pages_df(spark, 40)
+    # file 1: originals; file 2: exact re-crawls (same urls, later ts)
+    pages.write.parquet(landing + "/batch1")
+    recrawl = pages.withColumn(
+        "warc_ts", F.col("warc_ts") + F.expr("INTERVAL 10 DAYS")
+    )
+    recrawl.write.parquet(landing + "/batch2")
+
+    stream = (
+        spark.readStream.schema(PAGES_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # forces >= 2 micro-batches
+        .parquet(landing + "/batch*")
+    )
+    out = str(tmp_path / "deduped")
+    q = (
+        dedup_pages_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.read.parquet(out)
+    assert got.count() == 40  # one row per distinct url, not 80
+    assert got.select("url").distinct().count() == 40
+    # earliest crawl won: timestamps match the originals
+    orig = {r["url"]: r["warc_ts"] for r in pages.collect()}
+    for r in got.collect():
+        assert r["warc_ts"] == orig[r["url"]]
