@@ -110,6 +110,131 @@ def _make_grad_fn(bundle_bc, label_to_idx: dict[str, int]):
     return grad_batches
 
 
+TRANS_GRAD_SCHEMA = T.StructType(
+    [
+        T.StructField("grad", T.ArrayType(T.DoubleType()), False),
+        T.StructField("n_errors", T.LongType(), False),
+        T.StructField("n_tokens", T.LongType(), False),
+    ]
+)
+
+
+def _make_transition_grad_fn(bundle_bc, label_to_idx: dict[str, int]):
+    """Structured-perceptron gradient for the CRF transition matrix
+    (reference ``crf_log_likelihood`` analog with Viterbi-point
+    gradients): counts(gold path transitions) - counts(viterbi path),
+    unary scores fixed."""
+    from neuroner_spark.model.bilstm_crf import viterbi_decode
+    from neuroner_spark.model.weights import END, START
+
+    def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bundle = bundle_bc.value
+        arrays, vocab = bundle["arrays"], bundle["vocab"]
+        S = N_CLASSES + 2
+        vocab_s = pd.Series(vocab) if vocab is not None else None
+
+        def vmap(uniq):
+            if vocab_s is None:
+                import zlib
+
+                n = bundle["vocab_size"]
+                return np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) % (n - 1) + 1 for t in uniq),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+            return pd.Series(uniq, dtype=object).map(vocab_s).fillna(0).to_numpy(np.int64)
+
+        counts = np.zeros((S, S), dtype=np.float64)
+        n_err, n_tok = 0, 0
+        for pdf in batches:
+            tok_lists = pdf["token_arr"].to_numpy()
+            lab_lists = pdf["label_arr"].to_numpy()
+            lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists))
+            order = np.argsort(lens, kind="stable")
+            for s0 in range(0, len(order), SUB_BATCH):
+                idx = order[s0 : s0 + SUB_BATCH]
+                lengths = lens[idx]
+                keep = lengths > 0
+                idx, lengths = idx[keep], lengths[keep]
+                if len(idx) == 0:
+                    continue
+                flat_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[idx]])
+                token_ids, char_feat, row_idx, col_idx = _encode_flat(flat_tokens, lengths, vmap, arrays)
+                ff = forward_features(token_ids, char_feat, lengths, arrays)
+                scores = ff @ arrays["out_W"] + arrays["out_b"]
+                pred = viterbi_decode(scores, lengths, arrays["crf_transitions"])
+                B, Tm = pred.shape
+                gold = np.zeros((B, Tm), dtype=np.int64)
+                gold[row_idx, col_idx] = np.fromiter(
+                    (label_to_idx.get(l, N_CLASSES - 1) for labs in lab_lists[idx] for l in labs),
+                    dtype=np.int64,
+                )
+                n_tok += int(lengths.sum())
+                n_err += int(((pred != gold)[row_idx, col_idx]).sum())
+
+                def add_path(path, sign):
+                    firsts = path[:, 0]
+                    np.add.at(counts, (np.full(B, START), firsts), sign)
+                    lasts = path[np.arange(B), lengths - 1]
+                    np.add.at(counts, (lasts, np.full(B, END)), sign)
+                    for t in range(1, Tm):
+                        act = lengths > t
+                        if not act.any():
+                            break
+                        np.add.at(counts, (path[act, t - 1], path[act, t]), sign)
+
+                add_path(gold, +1.0)
+                add_path(pred, -1.0)
+        yield pd.DataFrame(
+            {"grad": [counts.ravel().tolist()], "n_errors": [n_err], "n_tokens": [n_tok]}
+        )
+
+    return grad_batches
+
+
+def train_crf_transitions(
+    spark: SparkSession,
+    tokens: DataFrame,
+    bundle: dict,
+    epochs: int = 5,
+    lr: float = 0.1,
+    seed: int = 42,
+) -> dict:
+    """Averaged-ish structured perceptron over the transition matrix
+    (unary head fixed). Returns {'bundle', 'history': [...]}.
+    """
+    label_to_idx = {l: i for i, l in enumerate(LABELS)}
+    sentences = _labeled_sentences(tokens).cache()
+    n_sent = sentences.count()
+    S = N_CLASSES + 2
+    cur = dict(bundle, arrays={k: v.copy() for k, v in bundle["arrays"].items()})
+    history = []
+    for epoch in range(epochs):
+        shuffled = sentences.orderBy(F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id")).repartition(
+            spark.sparkContext.defaultParallelism
+        )
+        bc = spark.sparkContext.broadcast(cur)
+        rows = shuffled.mapInPandas(_make_transition_grad_fn(bc, label_to_idx), TRANS_GRAD_SCHEMA).collect()
+        bc.destroy()
+        counts = np.zeros(S * S, dtype=np.float64)
+        n_err, n_tok = 0, 0
+        for r in rows:
+            counts += np.asarray(r["grad"], dtype=np.float64)
+            n_err += r["n_errors"]
+            n_tok += r["n_tokens"]
+        new_arrays = dict(cur["arrays"])
+        trans = new_arrays["crf_transitions"].copy()
+        trans += (lr / max(n_sent, 1)) * counts.reshape(S, S).astype(np.float32)
+        new_arrays["crf_transitions"] = trans
+        cur = dict(cur, arrays=new_arrays)
+        history.append({"epoch": epoch, "token_errors": n_err, "n_tokens": n_tok})
+        if n_err == 0:
+            break
+    sentences.unpersist()
+    return {"bundle": cur, "history": history}
+
+
 def _labeled_sentences(tokens: DataFrame) -> DataFrame:
     return (
         tokens.groupBy("doc_id", "sent_id")

@@ -77,3 +77,30 @@ def test_early_stopping_triggers(spark):
     # lr=0 -> loss never improves -> patience stops after 1+patience epochs
     res = train_output_layer(spark, corpus, bundle, epochs=10, lr=0.0, patience=2)
     assert len(res["history"]) <= 4
+
+
+def test_crf_transition_training_reduces_errors(spark):
+    """Structured perceptron on transitions: Viterbi errors decrease
+    (trained head first so unaries carry signal)."""
+    from neuroner_spark.model.train import train_crf_transitions
+
+    corpus = _corpus(spark)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    # raw seed bundle: random unaries -> many Viterbi errors; the
+    # perceptron learns (mostly) strong ->O transitions and cuts them.
+    # (With a trained head the decode is already error-free and the
+    # perceptron correctly does nothing — asserted at the end.)
+    bundle = make_bundle(vocab, seed=42)
+    res = train_crf_transitions(spark, corpus, bundle, epochs=4, lr=0.5)
+    errs = [h["token_errors"] for h in res["history"]]
+    assert errs[-1] < errs[0], errs
+    import numpy as np
+
+    assert not np.array_equal(
+        res["bundle"]["arrays"]["crf_transitions"], bundle["arrays"]["crf_transitions"]
+    )
+    assert np.array_equal(res["bundle"]["arrays"]["out_W"], bundle["arrays"]["out_W"])
+    # trained-head fixpoint: zero errors -> loop exits after one epoch
+    head = train_output_layer(spark, corpus, bundle, epochs=4, lr=1.0, patience=4)
+    res2 = train_crf_transitions(spark, corpus, head["bundle"], epochs=4, lr=0.5)
+    assert res2["history"][-1]["token_errors"] == 0
