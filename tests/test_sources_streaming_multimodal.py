@@ -208,3 +208,39 @@ def test_stateful_stream_dedup(spark, tmp_path):
     orig = {r["url"]: r["warc_ts"] for r in pages.collect()}
     for r in got.collect():
         assert r["warc_ts"] == orig[r["url"]]
+
+
+def test_brat_to_conll_alignment(spark, tmp_path):
+    """J5: BRAT char spans -> BIO token labels (the reference's
+    brat_to_conll path), then round-trip back to spans via W4."""
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.operators.align import label_tokens_from_annotations
+    from neuroner_spark.operators.spans import extract_spans
+
+    text = "Alice Smith met Bob in Paris. Bob left."
+    docs = spark.createDataFrame([("d1", text)], "doc_id string, text string")
+    anns = spark.createDataFrame(
+        [
+            ("d1", "T1", "PER", 0, 11),   # Alice Smith
+            ("d1", "T2", "PER", 16, 19),  # Bob
+            ("d1", "T3", "LOC", 23, 28),  # Paris
+            ("d1", "T4", "PER", 30, 33),  # Bob (sentence 2)
+        ],
+        "doc_id string, ann_id string, type string, start long, end long",
+    )
+    tokens = tokenize(docs)
+    labeled = label_tokens_from_annotations(tokens, anns)
+    got = {
+        (r["sent_id"], r["pos"]): (r["token"], r["label"])
+        for r in labeled.collect()
+    }
+    assert got[(0, 0)] == ("Alice", "B-PER")
+    assert got[(0, 1)] == ("Smith", "I-PER")
+    assert got[(0, 2)] == ("met", "O")
+    assert got[(0, 3)] == ("Bob", "B-PER")
+    assert got[(0, 5)] == ("Paris", "B-LOC")
+    assert got[(1, 0)] == ("Bob", "B-PER")
+    # round-trip: span extraction recovers the original char spans
+    spans = extract_spans(labeled, label_col="label")
+    round_tripped = {(r["start"], r["end"], r["type"]) for r in spans.collect()}
+    assert round_tripped == {(0, 11, "PER"), (16, 19, "PER"), (23, 28, "LOC"), (30, 33, "PER")}
