@@ -91,6 +91,52 @@ def hyperplane(plane_id: int, dim: int):
     )
 
 
+def ivf_index(embeddings: DataFrame, k: int = 16, seed: int = 42):
+    """IVF coarse quantizer: KMeans centroids + cell assignment.
+    Returns (assigned DataFrame with 'cell', centroids ndarray [k,dim]).
+
+    The scale path for ANN when hyperplane LSH recall is not enough:
+    the corpus is partitioned into k cells once; queries probe only the
+    nearest ``nprobe`` cells — a broadcast-join-shaped search instead
+    of a full scan."""
+    import numpy as np
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    vecs = embeddings.withColumn("features", array_to_vector("embedding"))
+    model = KMeans(k=k, seed=seed, featuresCol="features", predictionCol="cell").fit(vecs)
+    assigned = model.transform(vecs).drop("features")
+    centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
+    return assigned, centroids
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN top-k via IVF: search only the ``nprobe`` cells whose
+    centroid is closest to the query. Output (vec_id, cos_sim, rank)."""
+    import numpy as np
+
+    assigned, centroids = ivf_index(embeddings, n_cells, seed)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = centroids - q[None, :]
+    probe_cells = np.argsort((d * d).sum(axis=1))[:nprobe].tolist()
+    cand = assigned.filter(F.col("cell").isin(probe_cells))
+    q_lit = F.array(*[F.lit(float(x)) for x in q])
+    scored = cand.select(
+        "vec_id", F.round(cosine(F.col("embedding"), q_lit), 6).alias("cos_sim")
+    )
+    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
+        F.col("rank") <= k
+    )
+
+
 def lsh_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, table: int = 0) -> DataFrame:
     """Random-hyperplane signature: sign bit per plane packed to a long.
     ``table`` offsets the plane ids so multiple independent hash tables

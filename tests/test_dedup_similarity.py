@@ -89,3 +89,28 @@ def test_lsh_bucket_pairs_find_similar_vectors(spark):
     assert {(0, 1), (0, 2), (1, 2)} <= pairs
     assert {(3, 4), (3, 5), (4, 5)} <= pairs
     assert not any(a < 3 <= b < 6 for a, b in pairs)
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    """IVF probe-limited search recovers most exact top-10 neighbors."""
+    from neuroner_spark.operators.similarity import cosine_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    exact = [r["vec_id"] for r in cosine_topk(emb, 0, k=10).collect()]
+    approx = [
+        r["vec_id"]
+        for r in ivf_topk(
+            emb.filter(F.col("vec_id") != 0), qvec, k=10, n_cells=8, nprobe=4
+        ).collect()
+    ]
+    overlap = len(set(exact) & set(approx))
+    assert overlap >= 6, (exact, approx)
+    # full probe == exact search (sanity: IVF with nprobe=n_cells is lossless)
+    full = [
+        r["vec_id"]
+        for r in ivf_topk(
+            emb.filter(F.col("vec_id") != 0), qvec, k=10, n_cells=8, nprobe=8
+        ).collect()
+    ]
+    assert full == exact
