@@ -1,0 +1,43 @@
+"""Byte-identical extracted text per url (BASELINE.json input_hint
+per-row invariant; FIXTURES.md pages_text_golden): the normalization
+output for the 500-page fixture is frozen as parquet and compared
+byte-for-byte every run."""
+
+import os
+
+from pyspark.sql import functions as F
+
+from neuroner_spark.fixtures.gen import pages_df
+from neuroner_spark.plans.kg_pipeline import normalize_pages
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "goldens", "pages_text_golden.parquet")
+
+
+def test_normalized_text_bytes_match_golden(spark):
+    norm = normalize_pages(pages_df(spark, 500)).select(
+        F.col("doc_id").alias("url"), "text"
+    )
+    got = {r["url"]: r["text"] for r in norm.collect()}
+    if not os.path.exists(GOLDEN):
+        os.makedirs(os.path.dirname(GOLDEN), exist_ok=True)
+        norm.coalesce(1).write.parquet(GOLDEN)
+        import pytest
+
+        pytest.skip("golden frozen on first run")
+    want = {r["url"]: r["text"] for r in spark.read.parquet(GOLDEN).collect()}
+    assert set(got) == set(want)
+    mismatches = [u for u in want if got[u].encode("utf-8") != want[u].encode("utf-8")]
+    assert mismatches == [], mismatches[:5]
+
+
+def test_html_extraction_consistent_with_text(spark):
+    """The html binary decodes to exactly the page text (modulo the P2
+    whitespace collapse applied by the extractor)."""
+    from neuroner_spark.functions.multimodal import html_to_text
+
+    pages = pages_df(spark, 200)
+    extracted = html_to_text(pages)
+    import re
+
+    for r in extracted.select("text", "text_from_html").collect():
+        assert r["text_from_html"] == re.sub(r"\s+", " ", r["text"]).strip()
