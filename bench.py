@@ -41,11 +41,11 @@ def main() -> None:
 
     timings: dict[str, float] = {}
 
-    def timed(name: str, fn):
-        # best-of-2: the shared-host hypervisor adds multi-second noise
+    def timed(name: str, fn, repeats: int = 2):
+        # best-of-N: the shared-host hypervisor adds multi-second noise
         # and the first run pays JIT/codegen; min ~= steady state
         best = None
-        for _ in range(2):
+        for _ in range(repeats):
             t0 = time.time()
             n = fn()
             dt = time.time() - t0
@@ -90,7 +90,7 @@ def main() -> None:
         assert n > 0, "kg_pipeline produced no triples — benchmark invalid"
         return n
 
-    timed("kg_pipeline", kg_pipeline)
+    timed("kg_pipeline", kg_pipeline, repeats=3)
 
     # --- q2: neural tagger (D1) over every sentence of the corpus
     def neural_tagger():
@@ -106,7 +106,7 @@ def main() -> None:
         tagged = tag_tokens(spark, tokens, bundle)
         return tagged.count()
 
-    timed("neural_tagger", neural_tagger)
+    timed("neural_tagger", neural_tagger, repeats=3)
 
     # --- catalog heavies
     heavies = {
