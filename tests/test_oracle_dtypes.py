@@ -27,7 +27,7 @@ def test_all_oracle_pairs_dtype_aligned(spark):
         if name not in oracles:
             continue
         sdf = fn(spark, SF).limit(0).toPandas()
-        odf = con.sql(oracles[name] + " LIMIT 0").df()
+        odf = con.sql(f"SELECT * FROM ({oracles[name]}) AS _q LIMIT 0").df()
         s = {c: str(sdf[c].dtype) for c in sorted(sdf.columns)}
         o = {c: str(odf[c].dtype) for c in sorted(odf.columns)}
         if set(s) != set(o):
