@@ -532,7 +532,7 @@ def q_shipping_priority(spark, sf_dir):
         .filter(F.col("o_orderdate") < "1995-06-01")
         .join(li, o.o_orderkey == li.l_orderkey)
         .filter(F.col("l_shipdate") > "1995-06-01")
-        .groupBy("o_orderkey", "o_orderdate")
+        .groupBy("o_orderkey", F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderkey")
         .limit(10)
@@ -540,7 +540,7 @@ def q_shipping_priority(spark, sf_dir):
 
 
 SQL_SHIPPING_PRIORITY = """
-SELECT o_orderkey, o_orderdate,
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
        round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
 FROM customer
 JOIN orders ON c_custkey = o_custkey
@@ -548,7 +548,7 @@ JOIN lineitem ON o_orderkey = l_orderkey
 WHERE c_mktsegment = 'BUILDING'
   AND o_orderdate < TIMESTAMP '1995-06-01'
   AND l_shipdate > TIMESTAMP '1995-06-01'
-GROUP BY o_orderkey, o_orderdate
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d')
 ORDER BY revenue DESC, o_orderkey
 LIMIT 10
 """
