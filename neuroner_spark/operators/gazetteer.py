@@ -100,16 +100,24 @@ def match_mentions(tokens: DataFrame, alias_dict: DataFrame, max_n: int = MAX_N)
     # (1) at each start pos keep only the longest hit;
     # (2) drop hits strictly contained in a longer hit that starts
     #     earlier in the same sentence.
+    # A containing hit must start within max_n-1 positions, so (2) is
+    # two lag() lookups instead of a self-join — saves two shuffles on
+    # the hottest stage of the pipeline (verified vs the NOT EXISTS
+    # formulation by the DuckDB oracle).
     w_pos = Window.partitionBy("doc_id", "sent_id", "pos").orderBy(F.desc("n"))
     longest = hits.withColumn("_rn", F.row_number().over(w_pos)).filter(F.col("_rn") == 1).drop("_rn")
-    a = longest.alias("a")
-    b = longest.alias("b")
-    contained = a.join(
-        b,
-        (F.col("a.doc_id") == F.col("b.doc_id"))
-        & (F.col("a.sent_id") == F.col("b.sent_id"))
-        & (F.col("b.pos") < F.col("a.pos"))
-        & (F.col("b.pos") + F.col("b.n") >= F.col("a.pos") + F.col("a.n")),
-        "left_semi",
-    ).select("doc_id", "sent_id", "pos")
-    return longest.join(contained, ["doc_id", "sent_id", "pos"], "left_anti")
+    w_sent = Window.partitionBy("doc_id", "sent_id").orderBy("pos")
+    contained = F.lit(False)
+    for k in range(1, max_n):
+        p_pos = F.lag("pos", k).over(w_sent)
+        p_n = F.lag("n", k).over(w_sent)
+        contained = contained | (
+            p_pos.isNotNull()
+            & (p_pos < F.col("pos"))
+            & (p_pos + p_n >= F.col("pos") + F.col("n"))
+        )
+    return (
+        longest.withColumn("_contained", contained)
+        .filter(~F.col("_contained"))
+        .drop("_contained")
+    )
