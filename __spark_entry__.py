@@ -26,14 +26,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> dict[str, tuple]:
-    """name -> (spark_fn, oracle_sql_or_None), merged from the catalogs."""
+    """name -> (spark_fn, oracle_sql_or_None), merged from the catalogs.
+
+    Order matters: the driver processes entries in registration order
+    under a per-round query budget (r01 recorded exactly the first 50),
+    so the KG/north-rule flagships come FIRST and the total is kept
+    <= 50 by tag-merging redundant relational pairs.
+    """
     from neuroner_spark.plans import catalog_kg, catalog_ner, catalog_relational, catalog_text
 
     merged: dict[str, tuple] = {}
-    merged.update(catalog_relational.QUERIES)
-    merged.update(catalog_text.QUERIES)
-    merged.update(catalog_ner.QUERIES)
     merged.update(catalog_kg.QUERIES)
+    merged.update(catalog_ner.QUERIES)
+    merged.update(catalog_text.QUERIES)
+    merged.update(catalog_relational.QUERIES)
     return merged
 
 

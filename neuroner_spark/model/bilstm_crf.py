@@ -117,6 +117,144 @@ def forward_features(token_ids, char_feat, lengths, arrays):
     return np.tanh(h @ arrays["ff_W"] + arrays["ff_b"])  # [B,T,100]
 
 
+# ---------------------------------------------------------------------
+# BPTT (full-network training, reference ``src/entity_lstm.py ::
+# define_training_procedure`` — the TF autodiff path re-derived by hand
+# in numpy).  The char Bi-LSTM stays frozen (its features enter as a
+# constant input, like the reference's ``reload_character_embeddings``
+# freeze flag); everything from the token-LSTM input up is trainable.
+# ---------------------------------------------------------------------
+
+
+def _lstm_cache(x, lengths, W, U, b, hidden, reverse=False):
+    """Forward identical to ``_lstm`` but keeps the per-step gate
+    activations needed for BPTT.  Computes in ``x.dtype`` so float64
+    inputs give float64 math (gradient-check precision)."""
+    B, T, D = x.shape
+    dt = x.dtype
+    h = np.zeros((B, hidden), dtype=dt)
+    c = np.zeros((B, hidden), dtype=dt)
+    h_seq = np.zeros((B, T, hidden), dtype=dt)
+    xW = (x.reshape(B * T, D) @ W + b).reshape(B, T, 4 * hidden)
+    cache = {k: np.zeros((T, B, hidden), dtype=dt) for k in ("i", "f", "o", "g", "tc", "c_prev", "h_prev")}
+    steps = range(T - 1, -1, -1) if reverse else range(T)
+    for t in steps:
+        z = xW[:, t, :] + h @ U
+        gates = _sigmoid(z[:, : 3 * hidden])
+        i = gates[:, :hidden]
+        f = gates[:, hidden : 2 * hidden]
+        o = gates[:, 2 * hidden : 3 * hidden]
+        g = np.tanh(z[:, 3 * hidden :])
+        cache["c_prev"][t] = c
+        cache["h_prev"][t] = h
+        c_new = f * c + i * g
+        tc = np.tanh(c_new)
+        h_new = o * tc
+        cache["i"][t], cache["f"][t], cache["o"][t] = i, f, o
+        cache["g"][t], cache["tc"][t] = g, tc
+        valid = (lengths > t)[:, None]
+        c = np.where(valid, c_new, c)
+        h = np.where(valid, h_new, h)
+        h_seq[:, t, :] = np.where(valid, h_new, 0.0)
+    return h_seq, cache
+
+
+def _lstm_backward(d_hseq, x, lengths, W, U, cache, hidden, reverse=False):
+    """BPTT through one LSTM direction.  Returns (dx, dW, dU, db).
+    Masking mirrors the forward pass-through: at invalid steps state is
+    carried, so gradients pass through unchanged."""
+    B, T, D = x.shape
+    dW = np.zeros(W.shape, dtype=np.float64)
+    dU = np.zeros(U.shape, dtype=np.float64)
+    db = np.zeros(4 * hidden, dtype=np.float64)
+    dx = np.zeros((B, T, D), dtype=x.dtype)
+    dh = np.zeros((B, hidden), dtype=x.dtype)
+    dc = np.zeros((B, hidden), dtype=x.dtype)
+    # iterate in reverse of the forward step order
+    steps = range(T) if reverse else range(T - 1, -1, -1)
+    for t in steps:
+        valid = (lengths > t)[:, None]
+        i, f, o = cache["i"][t], cache["f"][t], cache["o"][t]
+        g, tc = cache["g"][t], cache["tc"][t]
+        c_prev, h_prev = cache["c_prev"][t], cache["h_prev"][t]
+        dh_t = dh + np.where(valid, d_hseq[:, t, :], 0.0)
+        do = dh_t * tc
+        dct = dc + dh_t * o * (1.0 - tc * tc)
+        dz = np.concatenate(
+            [
+                dct * g * i * (1.0 - i),
+                dct * c_prev * f * (1.0 - f),
+                do * o * (1.0 - o),
+                dct * i * (1.0 - g * g),
+            ],
+            axis=1,
+        )
+        dz = np.where(valid, dz, 0.0)
+        dW += x[:, t, :].T.astype(np.float64) @ dz.astype(np.float64)
+        dU += h_prev.T.astype(np.float64) @ dz.astype(np.float64)
+        db += dz.sum(axis=0)
+        dx[:, t, :] = dz @ W.T
+        dh = np.where(valid, dz @ U.T, dh_t)
+        dc = np.where(valid, dct * f, dc)
+    return dx, dW, dU, db
+
+
+def forward_features_cache(token_ids, char_feat, lengths, arrays):
+    """``forward_features`` with the activations kept for backprop.
+    Returns (ff [B,T,FF_DIM], cache)."""
+    tok_emb = arrays["token_emb"][token_ids]
+    x = np.concatenate([tok_emb, char_feat], axis=2)
+    fw_seq, fw_cache = _lstm_cache(
+        x, lengths, arrays["token_lstm_fw_W"], arrays["token_lstm_fw_U"], arrays["token_lstm_fw_b"], arrays["token_lstm_fw_U"].shape[0]
+    )
+    bw_seq, bw_cache = _lstm_cache(
+        x, lengths, arrays["token_lstm_bw_W"], arrays["token_lstm_bw_U"], arrays["token_lstm_bw_b"], arrays["token_lstm_bw_U"].shape[0], reverse=True
+    )
+    h = np.concatenate([fw_seq, bw_seq], axis=2)
+    ff = np.tanh(h @ arrays["ff_W"] + arrays["ff_b"])
+    cache = {
+        "x": x,
+        "h": h,
+        "ff": ff,
+        "fw": fw_cache,
+        "bw": bw_cache,
+        "lengths": lengths,
+        "token_ids": token_ids,
+    }
+    return ff, cache
+
+
+def backward_features(d_ff, cache, arrays):
+    """Backprop d_ff [B,T,FF_DIM] through FF + token Bi-LSTM.
+    Returns (grads dict keyed like the weight arrays, dx [B,T,tin]) —
+    dx[:, :, :TOKEN_DIM] is the token-embedding gradient per position."""
+    x, h, ff, lengths = cache["x"], cache["h"], cache["ff"], cache["lengths"]
+    B, T, H2 = h.shape
+    hidden = H2 // 2
+    FF = arrays["ff_W"].shape[1]
+    d_pre = (d_ff * (1.0 - ff * ff)).astype(x.dtype)
+    d_ff_W = h.reshape(B * T, H2).astype(np.float64).T @ d_pre.reshape(B * T, FF).astype(np.float64)
+    d_ff_b = d_pre.reshape(B * T, FF).sum(axis=0).astype(np.float64)
+    d_h = d_pre @ arrays["ff_W"].T
+    dx_f, dWf, dUf, dbf = _lstm_backward(
+        d_h[:, :, :hidden], x, lengths, arrays["token_lstm_fw_W"], arrays["token_lstm_fw_U"], cache["fw"], hidden
+    )
+    dx_b, dWb, dUb, dbb = _lstm_backward(
+        d_h[:, :, hidden:], x, lengths, arrays["token_lstm_bw_W"], arrays["token_lstm_bw_U"], cache["bw"], hidden, reverse=True
+    )
+    grads = {
+        "token_lstm_fw_W": dWf,
+        "token_lstm_fw_U": dUf,
+        "token_lstm_fw_b": dbf,
+        "token_lstm_bw_W": dWb,
+        "token_lstm_bw_U": dUb,
+        "token_lstm_bw_b": dbb,
+        "ff_W": d_ff_W,
+        "ff_b": d_ff_b,
+    }
+    return grads, dx_f + dx_b
+
+
 def argmax_decode(scores, lengths):
     """No-CRF path (reference ``use_crf=False``: ``tf.argmax`` per
     token, SURVEY O2): independent per-token argmax over real classes."""

@@ -33,9 +33,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from neuroner_spark.model.bilstm_crf import forward_features
+from neuroner_spark.model.bilstm_crf import (
+    backward_features,
+    forward_features,
+    forward_features_cache,
+)
 from neuroner_spark.model.tagger import SUB_BATCH, _encode_flat
-from neuroner_spark.model.weights import LABELS, N_CLASSES, save_bundle
+from neuroner_spark.model.weights import LABELS, N_CLASSES, TOKEN_DIM, save_bundle
 
 GRAD_SCHEMA = T.StructType(
     [
@@ -108,6 +112,185 @@ def _make_grad_fn(bundle_bc, label_to_idx: dict[str, int]):
         )
 
     return grad_batches
+
+
+# Trainable set for full-network training, in pinned flatten order.
+# Char Bi-LSTM + char embeddings stay frozen (reference ``reload_*``
+# freeze semantics); "token_emb" is appended when train_embeddings=True.
+FULL_PARAM_ORDER = [
+    "token_lstm_fw_W",
+    "token_lstm_fw_U",
+    "token_lstm_fw_b",
+    "token_lstm_bw_W",
+    "token_lstm_bw_U",
+    "token_lstm_bw_b",
+    "ff_W",
+    "ff_b",
+    "out_W",
+    "out_b",
+]
+
+
+def _make_full_grad_fn(bundle_bc, label_to_idx: dict[str, int], train_embeddings: bool):
+    """mapInPandas gradient worker for the FULL network (softmax NLL on
+    the output head, backprop through FF + token Bi-LSTM via
+    ``backward_features``; embedding rows too when train_embeddings).
+    One gradient row out per partition, like the head-only worker —
+    the row is just bigger (O(model), still a few MB)."""
+
+    def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        bundle = bundle_bc.value
+        arrays, vocab = bundle["arrays"], bundle["vocab"]
+        W, b = arrays["out_W"], arrays["out_b"]
+        C = N_CLASSES
+        vocab_s = pd.Series(vocab) if vocab is not None else None
+
+        def vmap(uniq):
+            if vocab_s is None:
+                import zlib
+
+                n = bundle["vocab_size"]
+                return np.fromiter(
+                    (zlib.crc32(t.encode("utf-8")) % (n - 1) + 1 for t in uniq),
+                    dtype=np.int64,
+                    count=len(uniq),
+                )
+            return pd.Series(uniq, dtype=object).map(vocab_s).fillna(0).to_numpy(np.int64)
+
+        names = list(FULL_PARAM_ORDER) + (["token_emb"] if train_embeddings else [])
+        acc = {n: np.zeros(arrays[n].shape, dtype=np.float64) for n in names}
+        loss_sum, n_tok = 0.0, 0
+        for pdf in batches:
+            tok_lists = pdf["token_arr"].to_numpy()
+            lab_lists = pdf["label_arr"].to_numpy()
+            lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists))
+            order = np.argsort(lens, kind="stable")
+            for s0 in range(0, len(order), SUB_BATCH):
+                idx = order[s0 : s0 + SUB_BATCH]
+                lengths = lens[idx]
+                keep = lengths > 0
+                idx, lengths = idx[keep], lengths[keep]
+                if len(idx) == 0:
+                    continue
+                flat_tokens = np.concatenate([np.asarray(t, dtype=object) for t in tok_lists[idx]])
+                labels_flat = np.fromiter(
+                    (label_to_idx.get(l, C - 1) for labs in lab_lists[idx] for l in labs),
+                    dtype=np.int64,
+                )
+                token_ids, char_feat, row_idx, col_idx = _encode_flat(flat_tokens, lengths, vmap, arrays)
+                ff, cache = forward_features_cache(token_ids, char_feat, lengths, arrays)
+                feats = ff[row_idx, col_idx]  # [N,FF_DIM] valid tokens
+                logits = feats @ W[:, :C] + b[:C]
+                logits -= logits.max(axis=1, keepdims=True)
+                p = np.exp(logits)
+                p /= p.sum(axis=1, keepdims=True)
+                n = len(labels_flat)
+                loss_sum += float(-np.log(p[np.arange(n), labels_flat] + 1e-12).sum())
+                n_tok += n
+                p[np.arange(n), labels_flat] -= 1.0  # d_logits (unnormalized)
+                acc["out_W"][:, :C] += feats.T.astype(np.float64) @ p.astype(np.float64)
+                acc["out_b"][:C] += p.sum(axis=0)
+                d_feats = (p @ W[:, :C].T).astype(np.float32)
+                d_ff = np.zeros_like(ff)
+                d_ff[row_idx, col_idx] = d_feats
+                grads, dx = backward_features(d_ff, cache, arrays)
+                for k, v in grads.items():
+                    acc[k] += v
+                if train_embeddings:
+                    # dense scatter-add; padding rows (id 0) receive the
+                    # zeros the mask already produced
+                    np.add.at(
+                        acc["token_emb"],
+                        token_ids.ravel(),
+                        dx[:, :, :TOKEN_DIM].reshape(-1, TOKEN_DIM).astype(np.float64),
+                    )
+        flat = np.concatenate([acc[n].ravel() for n in names]) if names else np.zeros(0)
+        yield pd.DataFrame(
+            {"grad": [flat.tolist()], "loss_sum": [loss_sum], "n_tokens": [n_tok]}
+        )
+
+    return grad_batches
+
+
+def train_full_network(
+    spark: SparkSession,
+    tokens: DataFrame,
+    bundle: dict,
+    epochs: int = 10,
+    lr: float = 0.1,
+    patience: int = 3,
+    seed: int = 42,
+    checkpoint_dir: str | None = None,
+    clip: float = 5.0,
+    momentum: float = 0.9,
+    train_embeddings: bool = False,
+) -> dict:
+    """Reference ``src/neuroner.py :: fit`` parity: train the WHOLE
+    network (token Bi-LSTM + FF + output head, optionally token
+    embeddings) with distributed gradient sums, per-epoch checkpoints
+    and patience early-stopping.  ``clip`` is the reference's
+    ``gradient_clipping_value=5.0`` (global-norm clip on the mean
+    gradient).  ``momentum`` compensates for the one-update-per-epoch
+    cadence of the all-reduce loop (the reference does per-sentence
+    SGD, 10^4 updates/epoch; full-batch descent without momentum needs
+    far more epochs for the same progress).
+
+    Gradient rows stay O(model) per partition; with train_embeddings
+    the row grows by O(vocab x dim) — fine for fixture-scale vocabs,
+    and the hashed-vocab bundle caps it at vocab_size rows at web
+    scale (a sparse/parameter-server aggregation is the 100x upgrade
+    path, same loop shape).
+    """
+    label_to_idx = {l: i for i, l in enumerate(LABELS)}
+    sentences = _labeled_sentences(tokens).cache()
+    sentences.count()
+    names = list(FULL_PARAM_ORDER) + (["token_emb"] if train_embeddings else [])
+    history = []
+    best_loss, best_epoch, stall = float("inf"), -1, 0
+    cur = dict(bundle, arrays={k: v.copy() for k, v in bundle["arrays"].items()})
+    sizes = [int(np.prod(cur["arrays"][n].shape)) for n in names]
+    total = sum(sizes)
+    vel = np.zeros(total, dtype=np.float64)
+    for epoch in range(epochs):
+        shuffled = sentences.repartition(
+            spark.sparkContext.defaultParallelism,
+            F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id"),
+        )
+        bc = spark.sparkContext.broadcast(cur)
+        rows = shuffled.mapInPandas(
+            _make_full_grad_fn(bc, label_to_idx, train_embeddings), GRAD_SCHEMA
+        ).collect()
+        bc.destroy()
+        grad = np.zeros(total, dtype=np.float64)
+        loss_sum, n_tok = 0.0, 0
+        for r in rows:
+            grad += np.asarray(r["grad"], dtype=np.float64)
+            loss_sum += r["loss_sum"]
+            n_tok += r["n_tokens"]
+        grad /= max(n_tok, 1)
+        gnorm = float(np.linalg.norm(grad))
+        if clip and gnorm > clip:
+            grad *= clip / gnorm
+        vel = momentum * vel + grad
+        new_arrays = dict(cur["arrays"])
+        off = 0
+        for n, sz in zip(names, sizes):
+            g = vel[off : off + sz].reshape(cur["arrays"][n].shape).astype(np.float32)
+            new_arrays[n] = cur["arrays"][n] - lr * g
+            off += sz
+        cur = dict(cur, arrays=new_arrays)
+        loss = loss_sum / max(n_tok, 1)
+        history.append({"epoch": epoch, "loss": round(loss, 6), "n_tokens": n_tok, "grad_norm": round(gnorm, 6)})
+        if checkpoint_dir:
+            save_bundle(cur, os.path.join(checkpoint_dir, f"epoch_{epoch}"))
+        if loss < best_loss - 1e-6:
+            best_loss, best_epoch, stall = loss, epoch, 0
+        else:
+            stall += 1
+            if stall >= patience:
+                break
+    sentences.unpersist()
+    return {"bundle": cur, "history": history, "best_epoch": best_epoch}
 
 
 TRANS_GRAD_SCHEMA = T.StructType(
@@ -211,8 +394,12 @@ def train_crf_transitions(
     cur = dict(bundle, arrays={k: v.copy() for k, v in bundle["arrays"].items()})
     history = []
     for epoch in range(epochs):
-        shuffled = sentences.orderBy(F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id")).repartition(
-            spark.sparkContext.defaultParallelism
+        # one hash-shuffle per epoch: repartition BY the seeded hash
+        # (orderBy(hash).repartition(N) would shuffle twice and then
+        # discard the sort anyway — gradient sums are order-free)
+        shuffled = sentences.repartition(
+            spark.sparkContext.defaultParallelism,
+            F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id"),
         )
         bc = spark.sparkContext.broadcast(cur)
         rows = shuffled.mapInPandas(_make_transition_grad_fn(bc, label_to_idx), TRANS_GRAD_SCHEMA).collect()
@@ -271,9 +458,12 @@ def train_output_layer(
     arrays = {k: v.copy() for k, v in bundle["arrays"].items()}
     cur = dict(bundle, arrays=arrays)
     for epoch in range(epochs):
-        # O3: deterministic per-epoch reshuffle
-        shuffled = sentences.orderBy(F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id")).repartition(
-            spark.sparkContext.defaultParallelism
+        # O3: deterministic per-epoch reshuffle — ONE hash-shuffle
+        # (repartition by the seeded hash; no orderBy, whose sort a
+        # round-robin repartition would destroy anyway)
+        shuffled = sentences.repartition(
+            spark.sparkContext.defaultParallelism,
+            F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id"),
         )
         bc = spark.sparkContext.broadcast(cur)
         rows = shuffled.mapInPandas(_make_grad_fn(bc, label_to_idx), GRAD_SCHEMA).collect()

@@ -84,9 +84,12 @@ def ngram_candidates(tokens: DataFrame, max_n: int = MAX_N, anchor_words: DataFr
 
 def match_mentions(tokens: DataFrame, alias_dict: DataFrame, max_n: int = MAX_N) -> DataFrame:
     """tokens × alias_dict -> mentions(doc_id, sent_id, pos, n, surface,
-    surface_norm, start, end) — longest-match-first, non-overlapping
-    within a sentence (greedy left-to-right like the reference's
-    dictionary annotators).
+    surface_norm, start, end) — longest-match-first, CONTAINMENT-
+    resolved: at each start position only the longest hit survives, and
+    hits strictly contained in a longer earlier hit are dropped.
+    Staggered partial overlaps (e.g. pos 0 n=3 and pos 2 n=3) are BOTH
+    kept — this matches the SQL oracle; downstream consumers needing
+    strict non-overlap should add a greedy left-to-right pass.
     """
     anchors = alias_dict.select(
         F.element_at(F.split(F.col("alias_norm"), " "), 1).alias("first_word")

@@ -2,8 +2,9 @@
 
 - ``cosine_topk``: brute-force exact top-k — baseline.  The dot
   products are JVM-side (``zip_with`` + ``aggregate``) so the scan
-  stays in whole-stage codegen; the top-k is a window rank, never a
-  driver-side sort of the full cross product.
+  stays in whole-stage codegen; the top-k is ``orderBy().limit(k)``
+  which Spark plans as TakeOrderedAndProject — per-partition heaps of
+  size k, never a single-partition sort of the scored corpus.
 - ``knn_join_topk``: k-NN for MANY query vectors at once — broadcast
   the (small) query set, one pass over the corpus.
 - ``lsh_bucket_pairs``: random-hyperplane LSH — the scale path: docs²
@@ -36,6 +37,17 @@ def cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _take_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Distributed top-k of a scored frame: TakeOrderedAndProject via
+    orderBy().limit(k) (each partition keeps a k-heap; only k rows ever
+    meet), then rank assigned over the k survivors only.  The rank
+    window is partitioned (by a constant) so no unbounded WindowExec is
+    planned — it touches k rows, not the corpus."""
+    top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
+    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return top.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
 def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
     """Exact top-k cosine neighbors of one corpus vector.
     Output: (vec_id, cos_sim) — rounded for cross-engine parity."""
@@ -50,11 +62,7 @@ def cosine_topk(embeddings: DataFrame, query_id: int, k: int = 10) -> DataFrame:
             F.round(cosine(F.col("embedding"), F.col("q_emb")), 6).alias("cos_sim"),
         )
     )
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= k)
-    )
+    return _take_topk(scored, k)
 
 
 def knn_join_topk(corpus: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
@@ -131,10 +139,7 @@ def ivf_topk(
     scored = cand.select(
         "vec_id", F.round(cosine(F.col("embedding"), q_lit), 6).alias("cos_sim")
     )
-    w = Window.orderBy(F.desc("cos_sim"), F.asc("vec_id"))
-    return scored.withColumn("rank", F.row_number().over(w).cast("long")).filter(
-        F.col("rank") <= k
-    )
+    return _take_topk(scored, k)
 
 
 def lsh_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, table: int = 0) -> DataFrame:

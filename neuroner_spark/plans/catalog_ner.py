@@ -275,87 +275,57 @@ SELECT gold, pred, count(*) AS n FROM labeled GROUP BY gold, pred
 
 
 def q_token_prf(spark, sf_dir):
-    return token_prf(pseudo_tokens(spark, sf_dir), "gold", "pred", mode="token")
+    """A4 with BOTH eval modes tagged in one frame: 'token' (prefix
+    stripped) and 'binary' (i2b2-deid style ENT vs O)."""
+    toks = pseudo_tokens(spark, sf_dir)
+    t = token_prf(toks, "gold", "pred", mode="token").withColumn("mode", F.lit("token"))
+    b = token_prf(toks, "gold", "pred", mode="binary").withColumn("mode", F.lit("binary"))
+    return t.unionByName(b)
+
+
+def _prf_ctes(remap_gold: str, remap_pred: str, sfx: str) -> str:
+    return f"""
+remapped{sfx} AS (
+  SELECT {remap_gold} AS gold, {remap_pred} AS pred FROM labeled
+), conf{sfx} AS (
+  SELECT gold, pred, count(*) AS n FROM remapped{sfx} GROUP BY gold, pred
+), as_gold{sfx} AS (
+  SELECT gold AS cls,
+         sum(CASE WHEN pred = gold THEN n ELSE 0 END) AS tp,
+         sum(CASE WHEN pred <> gold THEN n ELSE 0 END) AS fn
+  FROM conf{sfx} GROUP BY gold
+), as_pred{sfx} AS (
+  SELECT pred AS cls, sum(CASE WHEN gold <> pred THEN n ELSE 0 END) AS fp
+  FROM conf{sfx} GROUP BY pred
+), per_cls{sfx} AS (
+  SELECT coalesce(g.cls, p.cls) AS cls,
+         CAST(coalesce(tp, 0) AS BIGINT) AS tp,
+         CAST(coalesce(fp, 0) AS BIGINT) AS fp,
+         CAST(coalesce(fn, 0) AS BIGINT) AS fn
+  FROM as_gold{sfx} g FULL OUTER JOIN as_pred{sfx} p ON g.cls = p.cls
+  WHERE coalesce(g.cls, p.cls) <> 'O'
+)"""
+
+
+_PRF_MEASURES = """cls, tp, fp, fn,
+       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
+       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
+       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                     + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END) > 0
+             THEN 2 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                    * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END)
+                  / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
+                   + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END))
+             ELSE 0.0 END, 6) AS f1"""
 
 
 SQL_TOKEN_PRF = f"""
 WITH {PSEUDO_TOKENS_CTE},
-remapped AS (
-  SELECT regexp_replace(gold, '^[BIOES]-', '') AS gold,
-         regexp_replace(pred, '^[BIOES]-', '') AS pred
-  FROM labeled
-), conf AS (
-  SELECT gold, pred, count(*) AS n FROM remapped GROUP BY gold, pred
-), as_gold AS (
-  SELECT gold AS cls,
-         sum(CASE WHEN pred = gold THEN n ELSE 0 END) AS tp,
-         sum(CASE WHEN pred <> gold THEN n ELSE 0 END) AS fn
-  FROM conf GROUP BY gold
-), as_pred AS (
-  SELECT pred AS cls, sum(CASE WHEN gold <> pred THEN n ELSE 0 END) AS fp
-  FROM conf GROUP BY pred
-), per_cls AS (
-  SELECT coalesce(g.cls, p.cls) AS cls,
-         CAST(coalesce(tp, 0) AS BIGINT) AS tp,
-         CAST(coalesce(fp, 0) AS BIGINT) AS fp,
-         CAST(coalesce(fn, 0) AS BIGINT) AS fn
-  FROM as_gold g FULL OUTER JOIN as_pred p ON g.cls = p.cls
-  WHERE coalesce(g.cls, p.cls) <> 'O'
-)
-SELECT cls, tp, fp, fn,
-       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
-       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
-       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
-                     + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END) > 0
-             THEN 2 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
-                    * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END)
-                  / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
-                   + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END))
-             ELSE 0.0 END, 6) AS f1
-FROM per_cls
-"""
-
-
-def q_token_prf_binary(spark, sf_dir):
-    """A4 'binary' eval mode (i2b2-deid style: ENT vs O)."""
-    return token_prf(pseudo_tokens(spark, sf_dir), "gold", "pred", mode="binary")
-
-
-SQL_TOKEN_PRF_BINARY = f"""
-WITH {PSEUDO_TOKENS_CTE},
-remapped AS (
-  SELECT CASE WHEN gold = 'O' THEN 'O' ELSE 'ENT' END AS gold,
-         CASE WHEN pred = 'O' THEN 'O' ELSE 'ENT' END AS pred
-  FROM labeled
-), conf AS (
-  SELECT gold, pred, count(*) AS n FROM remapped GROUP BY gold, pred
-), as_gold AS (
-  SELECT gold AS cls,
-         sum(CASE WHEN pred = gold THEN n ELSE 0 END) AS tp,
-         sum(CASE WHEN pred <> gold THEN n ELSE 0 END) AS fn
-  FROM conf GROUP BY gold
-), as_pred AS (
-  SELECT pred AS cls, sum(CASE WHEN gold <> pred THEN n ELSE 0 END) AS fp
-  FROM conf GROUP BY pred
-), per_cls AS (
-  SELECT coalesce(g.cls, p.cls) AS cls,
-         CAST(coalesce(tp, 0) AS BIGINT) AS tp,
-         CAST(coalesce(fp, 0) AS BIGINT) AS fp,
-         CAST(coalesce(fn, 0) AS BIGINT) AS fn
-  FROM as_gold g FULL OUTER JOIN as_pred p ON g.cls = p.cls
-  WHERE coalesce(g.cls, p.cls) <> 'O'
-)
-SELECT cls, tp, fp, fn,
-       round(CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END, 6) AS precision,
-       round(CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END, 6) AS recall,
-       round(CASE WHEN (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
-                     + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END) > 0
-             THEN 2 * (CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
-                    * (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END)
-                  / ((CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) ELSE 0.0 END)
-                   + (CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) ELSE 0.0 END))
-             ELSE 0.0 END, 6) AS f1
-FROM per_cls
+{_prf_ctes("regexp_replace(gold, '^[BIOES]-', '')", "regexp_replace(pred, '^[BIOES]-', '')", "_t")},
+{_prf_ctes("CASE WHEN gold = 'O' THEN 'O' ELSE 'ENT' END", "CASE WHEN pred = 'O' THEN 'O' ELSE 'ENT' END", "_b")}
+SELECT {_PRF_MEASURES}, 'token' AS mode FROM per_cls_t
+UNION ALL
+SELECT {_PRF_MEASURES}, 'binary' AS mode FROM per_cls_b
 """
 
 
@@ -379,6 +349,5 @@ QUERIES = {
     "conlleval_f1": (q_conlleval_f1, SQL_CONLLEVAL_F1),
     "ner_confusion": (q_ner_confusion, SQL_NER_CONFUSION),
     "token_prf": (q_token_prf, SQL_TOKEN_PRF),
-    "token_prf_binary": (q_token_prf_binary, SQL_TOKEN_PRF_BINARY),
     "token_accuracy": (q_token_accuracy, SQL_TOKEN_ACCURACY),
 }

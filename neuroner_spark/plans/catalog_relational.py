@@ -75,39 +75,39 @@ GROUP BY r_name
 """
 
 
-# --- J3: left semi (EXISTS)
-def q_customers_with_orders(spark, sf_dir):
+# --- J3 + J4 in one oracle: left semi (EXISTS) and left anti
+# (NOT EXISTS) membership, tagged — one entry so the whole registry
+# fits the driver's per-round query budget.
+def q_customer_order_membership(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
+    semi = c.join(o, c.c_custkey == o.o_custkey, "left_semi").withColumn(
+        "has_orders", F.lit(True)
+    )
+    anti = c.join(o, c.c_custkey == o.o_custkey, "left_anti").withColumn(
+        "has_orders", F.lit(False)
+    )
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"))
+        semi.unionByName(anti)
+        .groupBy("c_mktsegment", "has_orders")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"),
+        )
     )
 
 
-SQL_CUSTOMERS_WITH_ORDERS = """
-SELECT c_mktsegment, count(*) AS n_customers
-FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY c_mktsegment
-"""
-
-
-# --- J4: left anti (NOT EXISTS)
-def q_customers_without_orders(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .groupBy("c_mktsegment")
-        .agg(F.count("*").alias("n_customers"), F.round(F.avg("c_acctbal"), 4).alias("avg_acctbal"))
-    )
-
-
-SQL_CUSTOMERS_WITHOUT_ORDERS = """
-SELECT c_mktsegment, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
-FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-GROUP BY c_mktsegment
+SQL_CUSTOMER_ORDER_MEMBERSHIP = """
+SELECT c_mktsegment, has_orders, count(*) AS n_customers,
+       round(avg(c_acctbal), 4) AS avg_acctbal
+FROM (
+  SELECT c_mktsegment, c_acctbal, TRUE AS has_orders
+  FROM customer WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT c_mktsegment, c_acctbal, FALSE AS has_orders
+  FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+)
+GROUP BY c_mktsegment, has_orders
 """
 
 
@@ -162,21 +162,30 @@ GROUP BY p_brand
 """
 
 
-# --- W1-analog: running sum window
-def q_running_user_value(spark, sf_dir):
+# --- W1-analog running sum + RANGE frame in one oracle: both window
+# frames computed per event row (same partition key -> one Exchange +
+# one sort feeds both WindowExecs).
+def q_window_frames(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
+    w_rows = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    w_range = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, 0)
     return ev.select(
         "user_id",
         "event_id",
-        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.round(F.sum("value").over(w_rows), 2).alias("running_value"),
+        F.round(F.sum("value").over(w_range), 2).alias("hour_sum"),
     )
 
 
-SQL_RUNNING_USER_VALUE = """
+SQL_WINDOW_FRAMES = """
 SELECT user_id, event_id,
        round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value,
+       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum
 FROM events
 """
 
@@ -302,26 +311,6 @@ FROM embeddings
 """
 
 
-# --- RANGE frame: sliding 1-hour sum per user (time-range window)
-def q_range_frame(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    w = Window.partitionBy("user_id").orderBy(epoch.alias("ep")).rangeBetween(-3600, 0)
-    return ev.select(
-        "user_id",
-        "event_id",
-        F.round(F.sum("value").over(w), 2).alias("hour_sum"),
-    )
-
-
-SQL_RANGE_FRAME = """
-SELECT user_id, event_id,
-       round(sum(value) OVER (PARTITION BY user_id ORDER BY epoch(ts)
-             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 2) AS hour_sum
-FROM events
-"""
-
-
 # --- ranking battery: dense_rank / ntile / percent_rank
 def q_rank_battery(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
@@ -377,54 +366,33 @@ def q_rollup_docs(spark, sf_dir):
 SQL_ROLLUP_DOCS = "SELECT lang, source, count(*) AS n FROM documents GROUP BY ROLLUP(lang, source)"
 
 
-def q_cube_events(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    bucketed = ev.withColumn("user_bucket", (F.col("user_id") % 5).cast("long"))
-    return cubed(bucketed)
-
-
 def cubed(bucketed):
     return bucketed.cube("event_type", "user_bucket").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
     )
 
 
-SQL_CUBE_EVENTS = """
-SELECT event_type, CAST(user_id % 5 AS BIGINT) AS user_bucket, count(*) AS n,
-       round(sum(value), 2) AS total_value
-FROM events GROUP BY CUBE(event_type, (CAST(user_id % 5 AS BIGINT)))
-"""
+# --- U2 + U3 in one oracle: INTERSECT and EXCEPT, tagged.
+# EXCEPT (distinct semantics) = DataFrame.subtract; exceptAll would
+# keep per-occurrence leftovers, which SQL EXCEPT does not.
+def q_nations_setops(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    s = _t(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    inter = c.intersect(s).withColumn("op", F.lit("intersect"))
+    exc = c.subtract(s).withColumn("op", F.lit("except"))
+    return inter.unionByName(exc)
 
 
-# --- U2/U3: set ops
-def q_nations_intersect(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    return (
-        c.select(F.col("c_nationkey").alias("nationkey"))
-        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
-    )
-
-
-SQL_NATIONS_INTERSECT = """
-SELECT c_nationkey AS nationkey FROM customer
-INTERSECT SELECT s_nationkey AS nationkey FROM supplier
-"""
-
-
-def q_nations_except(spark, sf_dir):
-    c = _t(spark, sf_dir, "customer")
-    s = _t(spark, sf_dir, "supplier")
-    # EXCEPT (distinct semantics) = DataFrame.subtract; exceptAll would
-    # keep per-occurrence leftovers, which SQL EXCEPT does not.
-    return c.select(F.col("c_nationkey").alias("nationkey")).subtract(
-        s.select(F.col("s_nationkey").alias("nationkey"))
-    )
-
-
-SQL_NATIONS_EXCEPT = """
-SELECT c_nationkey AS nationkey FROM customer
-EXCEPT SELECT s_nationkey AS nationkey FROM supplier
+SQL_NATIONS_SETOPS = """
+SELECT nationkey, 'intersect' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  INTERSECT SELECT s_nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'except' AS op FROM (
+  SELECT c_nationkey AS nationkey FROM customer
+  EXCEPT SELECT s_nationkey FROM supplier
+)
 """
 
 
@@ -479,13 +447,16 @@ FROM events GROUP BY 1
 """
 
 
-# --- O1: frequency-ordered vocabulary with stable index assignment
+# --- O1: frequency-ordered vocabulary with stable index assignment.
+# Two-phase (range-partition + local rank + offsets) — a web-scale
+# vocabulary (~10^8 tokens) never lands on one partition.
 def q_vocab_freq(spark, sf_dir):
+    from neuroner_spark.operators.ids import assign_sequential_ids
+
     d = _t(spark, sf_dir, "documents")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
-    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
-    return counts.withColumn("idx", F.row_number().over(w).cast("long"))
+    return assign_sequential_ids(counts, [F.desc("cnt"), F.asc("token")], id_col="idx")
 
 
 SQL_VOCAB_FREQ = """
@@ -584,24 +555,41 @@ GROUP BY n_name
 """
 
 
-# --- GROUPING SETS (exposed via Spark SQL — still our declarative plan)
-def q_grouping_sets(spark, sf_dir):
-    _t(spark, sf_dir, "events").createOrReplaceTempView("_ev")
-    return spark.sql(
+# --- GROUPING SETS + CUBE in one oracle, tagged (both still the real
+# Spark primitives: GROUP BY GROUPING SETS via SQL, DataFrame.cube).
+def q_events_grouping(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_ev")
+    gs = spark.sql(
         """
-        SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ub,
+        SELECT 'gsets' AS grp, event_type, CAST(user_id % 3 AS BIGINT) AS ub,
                count(*) AS n, round(sum(value), 2) AS total_value
         FROM _ev
         GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 3 AS BIGINT)), (event_type, CAST(user_id % 3 AS BIGINT)))
         """
     )
+    cu = (
+        cubed(ev.withColumn("user_bucket", (F.col("user_id") % 5).cast("long")))
+        .select(
+            F.lit("cube").alias("grp"),
+            "event_type",
+            F.col("user_bucket").alias("ub"),
+            "n",
+            "total_value",
+        )
+    )
+    return gs.unionByName(cu)
 
 
-SQL_GROUPING_SETS = """
-SELECT event_type, CAST(user_id % 3 AS BIGINT) AS ub,
+SQL_EVENTS_GROUPING = """
+SELECT 'gsets' AS grp, event_type, CAST(user_id % 3 AS BIGINT) AS ub,
        count(*) AS n, round(sum(value), 2) AS total_value
 FROM events
 GROUP BY GROUPING SETS ((event_type), (CAST(user_id % 3 AS BIGINT)), (event_type, CAST(user_id % 3 AS BIGINT)))
+UNION ALL
+SELECT 'cube' AS grp, event_type, CAST(user_id % 5 AS BIGINT) AS ub, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY CUBE(event_type, (CAST(user_id % 5 AS BIGINT)))
 """
 
 
@@ -691,26 +679,22 @@ QUERIES = {
     "max_token_len": (q_max_token_len, SQL_MAX_TOKEN_LEN),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
-    "grouping_sets": (q_grouping_sets, SQL_GROUPING_SETS),
+    "events_grouping": (q_events_grouping, SQL_EVENTS_GROUPING),
     "value_stats": (q_value_stats, SQL_VALUE_STATS),
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "region_acctbal": (q_region_acctbal, SQL_REGION_ACCTBAL),
-    "customers_with_orders": (q_customers_with_orders, SQL_CUSTOMERS_WITH_ORDERS),
-    "customers_without_orders": (q_customers_without_orders, SQL_CUSTOMERS_WITHOUT_ORDERS),
+    "customer_order_membership": (q_customer_order_membership, SQL_CUSTOMER_ORDER_MEMBERSHIP),
     "shipped_within_30d": (q_shipped_within_30d, SQL_SHIPPED_WITHIN_30D),
     "part_order_stats": (q_part_order_stats, SQL_PART_ORDER_STATS),
-    "running_user_value": (q_running_user_value, SQL_RUNNING_USER_VALUE),
+    "window_frames": (q_window_frames, SQL_WINDOW_FRAMES),
     "event_transitions": (q_event_transitions, SQL_EVENT_TRANSITIONS),
     "user_sessions": (q_user_sessions, SQL_USER_SESSIONS),
     "top3_orders_per_customer": (q_top3_orders_per_customer, SQL_TOP3_ORDERS_PER_CUSTOMER),
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
-    "range_frame": (q_range_frame, SQL_RANGE_FRAME),
     "rank_battery": (q_rank_battery, SQL_RANK_BATTERY),
     "pivot_event_values": (q_pivot_event_values, SQL_PIVOT_EVENT_VALUES),
     "rollup_docs": (q_rollup_docs, SQL_ROLLUP_DOCS),
-    "cube_events": (q_cube_events, SQL_CUBE_EVENTS),
-    "nations_intersect": (q_nations_intersect, SQL_NATIONS_INTERSECT),
-    "nations_except": (q_nations_except, SQL_NATIONS_EXCEPT),
+    "nations_setops": (q_nations_setops, SQL_NATIONS_SETOPS),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "json_props": (q_json_props, SQL_JSON_PROPS),
     "events_per_day": (q_events_per_day, SQL_EVENTS_PER_DAY),

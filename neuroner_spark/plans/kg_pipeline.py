@@ -221,7 +221,9 @@ def run_pipeline(
     """
     os.makedirs(out_dir, exist_ok=True)
     lineage: list[dict] = []
-    fp_pages = _fingerprint(pages.select("url"), "pages")
+    # content-sensitive: url alone would serve stale stages when a page
+    # is re-crawled with new text under the same url
+    fp_pages = _fingerprint(pages.select("url", "warc_ts", "text"), "pages")
     fp_alias = _fingerprint(alias_dict.select("alias_norm", "entity_id"), "alias")
 
     def stage(name: str, fp: str, build):
@@ -233,30 +235,31 @@ def run_pipeline(
 
     norm = stage("normalized", fp_pages, lambda: normalize_pages(pages))
     tokens = stage("tokens", fp_pages + "|tok", lambda: tokenize(norm))
+    # the mentions fingerprint flows into every downstream stage so a
+    # gazetteer<->neural switch (or a retrained bundle) invalidates
+    # linked/triples too, not just mentions
     if mention_source == "neural":
         if bundle is None:
             raise ValueError("mention_source='neural' requires a weight bundle")
         import hashlib
 
-        wfp = hashlib.md5(bundle["arrays"]["crf_transitions"].tobytes()).hexdigest()[:12]
-        mentions = stage(
-            "mentions",
-            fp_pages + f"|neural:{len(bundle['vocab'])}:{wfp}",
-            lambda: neural_mentions(spark, tokens, bundle),
-        )
+        h = hashlib.md5()
+        for name in sorted(bundle["arrays"]):
+            h.update(name.encode())
+            h.update(bundle["arrays"][name].tobytes())
+        fp_mentions = fp_pages + f"|neural:{bundle['vocab_size']}:{h.hexdigest()[:12]}"
+        mentions = stage("mentions", fp_mentions, lambda: neural_mentions(spark, tokens, bundle))
     else:
-        mentions = stage(
-            "mentions", fp_pages + "|" + fp_alias + "|gaz", lambda: match_mentions(tokens, alias_dict)
-        )
+        fp_mentions = fp_pages + "|" + fp_alias + "|gaz"
+        mentions = stage("mentions", fp_mentions, lambda: match_mentions(tokens, alias_dict))
+    fp_linked = fp_mentions + "|" + fp_alias + f"|link:fuzzy={use_fuzzy}"
     linked = stage(
-        "linked",
-        fp_pages + "|" + fp_alias + f"|link:fuzzy={use_fuzzy}",
-        lambda: link_mentions(mentions, alias_dict, use_fuzzy=use_fuzzy),
+        "linked", fp_linked, lambda: link_mentions(mentions, alias_dict, use_fuzzy=use_fuzzy)
     )
     canon = stage("canonical", fp_alias + "|cc", lambda: canonical_map(alias_dict))
     triples = stage(
         "triples",
-        fp_pages + "|" + fp_alias + f"|triples:w={NEAR_WINDOW}",
+        fp_linked + f"|triples:w={NEAR_WINDOW}",
         lambda: triples_from_linked(linked, canon, norm.select(F.col("doc_id").alias("url"), "warc_ts")),
     )
     entities = stage(

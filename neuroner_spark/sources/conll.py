@@ -5,17 +5,13 @@ Reference parity: ``src/dataset.py :: Dataset._parse_dataset``
 token, last column = label, optional middle passthrough columns,
 blank line terminates a sentence.
 
-Spark-first shape: ``spark.read.text`` keeps the file's line order per
-partition ONLY if we make order explicit, so we read with
-``input_file_name`` + a zipWithIndex-free monotonic line number per
-file via a window over a one-pass ordering column — here we use
-``spark.read.text``'s row position within each file obtained from the
-``_metadata`` + monotonically_increasing_id pattern: mid is
-monotonically increasing WITHIN a partition and text files split by
-line ranges preserve in-file order inside each partition, so
-(file, mid) sorts lines correctly for the typical one-file-per-doc
-layout.  Sentence ids then come from a running sum over blank-line
-flags (W1), and token positions from a row_number (W5).
+Spark-first shape: Spark rows are unordered, so line order is made
+explicit by reading each file ``wholetext`` (one row per file — the
+FileSourceScan can then never split a file across tasks and scramble
+mid-file line ranges) and exploding lines with their exact in-file
+position via ``posexplode``.  Sentence ids then come from a running
+sum over blank-line flags (W1), and token positions from a
+row_number (W5).
 
 At 10^12 scale CoNLL text is an ingest format only — the first job
 converts to the parquet token table and everything downstream reads
@@ -33,11 +29,12 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     tokens(doc_id, sent_id, pos, token, label, extras:array<string>).
     """
     raw = (
-        spark.read.text(path)
+        spark.read.option("wholetext", True)
+        .text(path)
+        .select(F.input_file_name().alias("doc_id"), F.col("value"))
         .select(
-            F.input_file_name().alias("doc_id"),
-            F.monotonically_increasing_id().alias("line_no"),
-            F.col("value"),
+            "doc_id",
+            F.posexplode(F.split("value", "\r?\n")).alias("line_no", "value"),
         )
     )
     w_doc = Window.partitionBy("doc_id").orderBy("line_no")

@@ -23,17 +23,38 @@ def read_embedding_text(spark: SparkSession, path: str, dim: int = 100) -> DataF
     ).filter(F.size("vector") == dim)
 
 
-def vocab_embedding_matrix(vocab: dict[str, int], emb_df: DataFrame) -> np.ndarray:
+def vocab_embedding_matrix(
+    vocab: dict[str, int], emb_df: DataFrame, stats: dict | None = None
+) -> np.ndarray:
     """Build the [vocab_size+1, dim] init matrix driver-side with the
     reference's probe order (exact, lowercase, digits->0); rows with no
     hit stay zero (the reference uses random init there — we use zeros
     for determinism).  J2 embedding lookup then happens inside the
-    tagger UDF via fancy-indexing on the broadcast matrix."""
-    rows = {r["token"]: r["vector"] for r in emb_df.collect()}
-    dim = len(next(iter(rows.values()))) if rows else 100
-    mat = np.zeros((len(vocab) + 1, dim), dtype=np.float32)
+    tagger UDF via fancy-indexing on the broadcast matrix.
+
+    The embedding table is SEMI-JOINED to the vocab's probe keys before
+    the collect, so driver memory is O(vocab), never O(embedding file)
+    — a GloVe-840B-scale table (2.2M x 300) stays on the executors.
+    ``stats`` (optional out-param) records ``n_collected`` for tests.
+    """
     import re
 
+    probe_keys = set()
+    for tok in vocab:
+        probe_keys.add(tok)
+        probe_keys.add(tok.lower())
+        probe_keys.add(re.sub(r"\d", "0", tok.lower()))
+    spark = emb_df.sparkSession
+    keys_df = spark.createDataFrame([(k,) for k in probe_keys], "token string")
+    pruned = emb_df.join(F.broadcast(keys_df), "token", "left_semi")
+    collected = pruned.collect()
+    # the semi join caps the collect at the 3 probe variants per token
+    assert len(collected) <= 3 * len(vocab), (len(collected), len(vocab))
+    if stats is not None:
+        stats["n_collected"] = len(collected)
+    rows = {r["token"]: r["vector"] for r in collected}
+    dim = len(next(iter(rows.values()))) if rows else 100
+    mat = np.zeros((len(vocab) + 1, dim), dtype=np.float32)
     for tok, idx in vocab.items():
         vec = rows.get(tok) or rows.get(tok.lower()) or rows.get(re.sub(r"\d", "0", tok.lower()))
         if vec is not None:

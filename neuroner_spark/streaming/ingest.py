@@ -7,8 +7,10 @@ Shape: ``readStream`` over the pages landing zone -> watermark on
 -> either
   (a) windowed mention-rate aggregation (monitoring), or
   (b) ``foreachBatch`` running the batch KG stages per micro-batch and
-      appending to the triples table — exactly-once via the checkpoint
-      dir + idempotent append of (url, warc_ts)-keyed rows.
+      writing to the triples table — exactly-once end-to-end because
+      each micro-batch OVERWRITES its own ``batch_id=<n>`` partition:
+      a batch retried from the checkpoint after a partial write lands
+      on the same path and replaces it, never duplicating rows.
 
 ``trigger(availableNow=True)`` drains everything currently in the
 source then stops — the offline-testable mode; on a live cluster the
@@ -63,8 +65,12 @@ def run_streaming_pipeline(
 ) -> None:
     """foreachBatch KG pipeline: each micro-batch of pages runs the
     batch stages (normalize -> tokenize -> match -> link -> triples)
-    and appends to the triples table. Drains available input and stops
-    (availableNow) — swap the trigger for continuous operation."""
+    and writes its own ``batch_id=<n>`` partition of the triples table
+    (idempotent under retry; readers see ``batch_id`` as a partition
+    column). Drains available input and stops (availableNow) — swap
+    the trigger for continuous operation."""
+    import os
+
     from neuroner_spark.functions.tokenize import tokenize
     from neuroner_spark.operators.gazetteer import match_mentions
     from neuroner_spark.operators.linking import link_mentions
@@ -85,7 +91,10 @@ def run_streaming_pipeline(
         linked = link_mentions(mentions, alias_dict, use_fuzzy=False)
         meta = norm.select(F.col("doc_id").alias("url"), "warc_ts")
         triples = triples_from_linked(linked, canon, meta)
-        triples.write.mode("append").parquet(out_dir)
+        # deterministic per-batch path + overwrite = retry-idempotent
+        triples.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch_id={batch_id}")
+        )
 
     q = (
         read_pages_stream(spark, landing_dir)

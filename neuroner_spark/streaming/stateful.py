@@ -45,14 +45,19 @@ def _dedup_fn(
         for _ in pdfs:
             pass
         return
-    first = None
+    # earliest crawl wins across ALL chunks of the group iterator (a
+    # large group may span several pandas chunks; keeping only the
+    # first chunk's min would be nondeterministic)
+    best = None
     for pdf in pdfs:
-        if len(pdf) and first is None:
-            # earliest crawl wins (deterministic within the batch)
-            first = pdf.sort_values("warc_ts").head(1)
+        if not len(pdf):
+            continue
+        cand = pdf.sort_values("warc_ts", kind="stable").head(1)
+        if best is None or cand["warc_ts"].iloc[0] < best["warc_ts"].iloc[0]:
+            best = cand
     state.update((True,))
-    if first is not None:
-        yield first[["url", "warc_ts", "text", "lang"]]
+    if best is not None:
+        yield best[["url", "warc_ts", "text", "lang"]]
 
 
 def dedup_pages_stream(pages_stream: DataFrame) -> DataFrame:

@@ -21,7 +21,9 @@ def test_all_oracle_pairs_dtype_aligned(spark):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
     qs = __spark_entry__.queries()
     oracles = __spark_entry__.oracle_sql()
-    assert len(qs) >= 54 and len(oracles) >= 53
+    # <= 50 so every entry fits the driver's per-round query budget
+    # (CORRECTNESS_r01 recorded exactly the first 50 of 54)
+    assert 49 <= len(qs) <= 50 and len(oracles) >= len(qs) - 1
     problems = []
     for name, fn in qs.items():
         if name not in oracles:

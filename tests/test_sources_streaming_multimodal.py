@@ -79,7 +79,11 @@ def test_embedding_scan_and_probe_chain(spark, tmp_path):
     )
     probes = {r["token"]: r["probe"] for r in pretrained_membership(vocab_df, emb).collect()}
     assert probes == {"hello": "exact", "WORLD": "lower", "year9": "digits0", "zzz": "oov"}
-    mat = vocab_embedding_matrix({"hello": 1, "WORLD": 2, "year9": 3, "zzz": 4}, emb)
+    stats = {}
+    mat = vocab_embedding_matrix({"hello": 1, "WORLD": 2, "year9": 3, "zzz": 4}, emb, stats=stats)
+    # join-first shape: the driver-side collect is bounded by the probe
+    # variants of the vocab, never the size of the embedding table
+    assert stats["n_collected"] <= 3 * 4
     assert mat.shape == (5, 4)
     assert mat[1, 0] == pytest.approx(0.1, abs=1e-6)
     assert mat[2, 0] == pytest.approx(0.2, abs=1e-6)  # lower probe
@@ -101,7 +105,8 @@ def test_streaming_pipeline(spark, tmp_path):
     run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark))
     triples = spark.read.parquet(out)
     assert triples.count() > 0
-    assert set(triples.columns) == {"subj", "pred", "obj", "url", "warc_ts"}
+    # batch_id is the per-micro-batch partition column (retry idempotence)
+    assert set(triples.columns) == {"subj", "pred", "obj", "url", "warc_ts", "batch_id"}
     # second drain with same checkpoint: no new input -> no duplicate rows
     n1 = triples.count()
     run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark))

@@ -79,6 +79,118 @@ def test_early_stopping_triggers(spark):
     assert len(res["history"]) <= 4
 
 
+def test_bptt_gradient_check():
+    """Finite-difference check of the hand-derived BPTT (FF + token
+    Bi-LSTM + embedding rows) in float64 — pure numpy, no Spark."""
+    import numpy as np
+
+    from neuroner_spark.model.bilstm_crf import (
+        backward_features,
+        forward_features,
+        forward_features_cache,
+    )
+
+    rng = np.random.default_rng(0)
+    bundle = make_bundle({"a": 1, "b": 2, "c": 3}, seed=7)
+    arrays64 = {k: v.astype(np.float64) for k, v in bundle["arrays"].items()}
+    B, T = 3, 4
+    token_ids = rng.integers(0, 4, size=(B, T))
+    char_feat = rng.normal(0, 0.5, size=(B, T, 50))
+    lengths = np.array([4, 2, 3])
+    mask = (np.arange(T)[None, :] < lengths[:, None])[:, :, None]
+    R = rng.normal(size=(B, T, 100)) * mask  # linear loss L = sum(ff * R)
+
+    def loss(arr):
+        ff, _ = forward_features_cache(token_ids, char_feat, lengths, arr)
+        return float((ff * R).sum())
+
+    ff, cache = forward_features_cache(token_ids, char_feat, lengths, arrays64)
+    # cached forward == inference forward
+    ff_inf = forward_features(
+        token_ids, char_feat.astype(np.float32), lengths, bundle["arrays"]
+    )
+    assert np.allclose(ff, ff_inf, atol=1e-4)
+    grads, dx = backward_features(R, cache, arrays64)
+    d_emb = np.zeros_like(arrays64["token_emb"])
+    np.add.at(d_emb, token_ids.ravel(), dx[:, :, :100].reshape(-1, 100))
+    grads = dict(grads, token_emb=d_emb)
+    eps = 1e-6
+    for name, g in grads.items():
+        for fi in rng.choice(g.size, size=min(6, g.size), replace=False):
+            ij = np.unravel_index(fi, g.shape)
+            up = arrays64[name].copy()
+            up[ij] += eps
+            dn = arrays64[name].copy()
+            dn[ij] -= eps
+            num = (loss({**arrays64, name: up}) - loss({**arrays64, name: dn})) / (2 * eps)
+            assert abs(num - g[ij]) <= 1e-5 * max(1.0, abs(num)), (name, ij, num, g[ij])
+
+
+def _corpus_in_domain(spark):
+    """Pseudo corpus with entity types remapped INTO the model's label
+    space (OP->PER, TECH->ORG, FN->LOC) so training targets are real
+    classes, not all collapsed to O."""
+    toks = pseudo_tokens(spark, SF)
+    relab = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace("gold", "-OP$", "-PER"), "-TECH$", "-ORG"),
+        "-FN$",
+        "-LOC",
+    )
+    toks = toks.withColumn("gold", relab)
+    return with_bioes(toks, "gold", "label").select(
+        "doc_id", "sent_id", "pos", "token", "label"
+    )
+
+
+def test_full_network_training_beats_head_only(spark, tmp_path):
+    """Reference fit() parity: training the whole network from scratch
+    reaches strictly better token accuracy than the head-only trainer
+    (the head on frozen random features cannot beat the all-O
+    majority-class plateau on this corpus; the full network can)."""
+    import numpy as np
+
+    from neuroner_spark.model.train import train_full_network
+
+    corpus = _corpus_in_domain(spark)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    head = train_output_layer(spark, corpus, bundle, epochs=6, lr=1.0, patience=6)
+    acc_head = _accuracy(spark, corpus, head["bundle"])
+
+    ckpt = str(tmp_path / "full_ckpts")
+    full = train_full_network(
+        spark,
+        corpus,
+        bundle,
+        epochs=25,
+        lr=1.0,
+        patience=25,
+        checkpoint_dir=ckpt,
+        train_embeddings=True,
+    )
+    losses = [h["loss"] for h in full["history"]]
+    assert losses[-1] < losses[0]
+    acc_full = _accuracy(spark, corpus, full["bundle"])
+    assert acc_full > acc_head, (acc_head, acc_full)
+    # every layer actually moved (vs the head trainer's frozen encoder)
+    for name in ("token_lstm_fw_W", "ff_W", "out_W", "token_emb"):
+        assert not np.array_equal(full["bundle"]["arrays"][name], bundle["arrays"][name]), name
+    # K4: per-epoch checkpoints exist and load
+    ck = load_bundle(os.path.join(ckpt, "epoch_0"))
+    assert ck["arrays"]["token_lstm_fw_W"].shape == bundle["arrays"]["token_lstm_fw_W"].shape
+
+
+def test_full_network_early_stopping(spark):
+    from neuroner_spark.model.train import train_full_network
+
+    corpus = _corpus_in_domain(spark).limit(300)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    # lr=0 -> loss never improves -> patience stops after 1+patience epochs
+    res = train_full_network(spark, corpus, bundle, epochs=10, lr=0.0, patience=2)
+    assert len(res["history"]) <= 4
+
+
 def test_crf_transition_training_reduces_errors(spark):
     """Structured perceptron on transitions: Viterbi errors decrease
     (trained head first so unaries carry signal)."""
