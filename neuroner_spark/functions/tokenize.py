@@ -65,6 +65,38 @@ def tokenize_text(text: str) -> list[tuple[int, int, str, int, int]]:
     return out
 
 
+def _make_custom_batches(tokenize_fn):
+    """Generic Arrow-batched wrapper around an injected tokenizer
+    (the reference's ``tokenizer`` INI param seam: spaCy/CoreNLP-style
+    callables drop in without touching the operator).  ``tokenize_fn``:
+    text -> [(sent_id, pos, token, start, end)]."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            doc_ids, counts = [], []
+            rows: list[tuple[int, int, str, int, int]] = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None:
+                    continue
+                r = tokenize_fn(text)
+                rows.extend(r)
+                doc_ids.append(doc_id)
+                counts.append(len(r))
+            yield pd.DataFrame(
+                {
+                    "doc_id": np.repeat(np.asarray(doc_ids, dtype=object), counts),
+                    "sent_id": np.asarray([r[0] for r in rows], dtype=np.int64),
+                    "pos": np.asarray([r[1] for r in rows], dtype=np.int32),
+                    "token": [r[2] for r in rows],
+                    "start": np.asarray([r[3] for r in rows], dtype=np.int64),
+                    "end": np.asarray([r[4] for r in rows], dtype=np.int64),
+                }
+            )
+
+    return gen
+
+
 def _tokenize_batches(
     batches: Iterator[pd.DataFrame],
 ) -> Iterator[pd.DataFrame]:
@@ -124,13 +156,25 @@ TOKENS_SCHEMA = T.StructType(
 )
 
 
-def tokenize(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def tokenize(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    tokenize_fn=None,
+) -> DataFrame:
     """docs(id, text) -> tokens(doc_id, sent_id, pos, token, start, end).
 
     Input is projected to exactly two columns before the UDF stage so
     parquet column pruning applies and Arrow batches stay small.
+
+    ``tokenize_fn`` (optional): text -> [(sent_id, pos, token, start,
+    end)] — the pluggable-tokenizer seam mirroring the reference's
+    ``tokenizer`` INI param (spaCy vs CoreNLP).  Default (None) is the
+    pinned regex tokenizer via a vectorized fast path; the injected fn
+    must be picklable (module-level) and deterministic.
     """
     narrow = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
-    return narrow.mapInPandas(_tokenize_batches, schema=TOKENS_SCHEMA)
+    fn = _tokenize_batches if tokenize_fn is None else _make_custom_batches(tokenize_fn)
+    return narrow.mapInPandas(fn, schema=TOKENS_SCHEMA)

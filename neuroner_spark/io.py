@@ -19,13 +19,18 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
-TABLE_FORMAT = os.environ.get("NEURONER_TABLE_FORMAT", "parquet")
+def _table_format() -> str:
+    # read per call (not at import) so tests and spark-submit wrappers
+    # can flip the format without re-importing the package
+    return os.environ.get("NEURONER_TABLE_FORMAT", "parquet")
 
 
 def _require_iceberg(spark: SparkSession) -> None:
     try:
-        spark._jvm.org.apache.iceberg.spark.SparkCatalog  # noqa: B018
-    except Exception as e:  # pragma: no cover - sandbox has no iceberg jars
+        # attribute access on spark._jvm is lazy (returns a JavaPackage
+        # without touching the classpath) — Class.forName actually loads
+        spark._jvm.java.lang.Class.forName("org.apache.iceberg.spark.SparkCatalog")
+    except Exception as e:
         raise RuntimeError(
             "NEURONER_TABLE_FORMAT=iceberg requires the Iceberg Spark "
             "runtime, e.g. spark-submit --packages "
@@ -37,7 +42,7 @@ def _require_iceberg(spark: SparkSession) -> None:
 
 
 def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by: list[str] | None = None) -> None:
-    if TABLE_FORMAT == "iceberg":  # pragma: no cover - needs runtime jars
+    if _table_format() == "iceberg":
         _require_iceberg(df.sparkSession)
         table = path.replace("/", ".").strip(".")
         writer = df.writeTo(f"kg.{table}").using("iceberg")
@@ -53,7 +58,7 @@ def write_table(df: DataFrame, path: str, mode: str = "overwrite", partition_by:
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
-    if TABLE_FORMAT == "iceberg":  # pragma: no cover - needs runtime jars
+    if _table_format() == "iceberg":
         _require_iceberg(spark)
         return spark.read.format("iceberg").load("kg." + path.replace("/", ".").strip("."))
     return spark.read.parquet(path)

@@ -255,6 +255,91 @@ def backward_features(d_ff, cache, arrays):
     return grads, dx_f + dx_b
 
 
+def _logsumexp(a, axis):
+    m = a.max(axis=axis, keepdims=True)
+    return np.squeeze(m, axis) + np.log(np.exp(a - m).sum(axis=axis))
+
+
+def crf_loss_grad(scores, lengths, gold, transitions):
+    """Batched CRF negative log-likelihood + exact gradients (reference
+    ``tf.contrib.crf.crf_log_likelihood`` semantics, start/end
+    augmented; forward-backward in log space, DP loops over time only).
+
+    scores: [B,T,C+2]; lengths: [B] (>0); gold: [B,T] int (real-class
+    ids, arbitrary past each length); transitions: [C+2,C+2].
+    Returns (loss_sum, d_scores [B,T,C+2], d_trans [C+2,C+2]) where the
+    gradients are of sum-NLL (unnormalized — divide by token count at
+    the aggregation site).
+    """
+    B, T, S = scores.shape
+    C = N_CLASSES
+    sc = scores[:, :, :C].astype(np.float64)
+    trans = transitions.astype(np.float64)
+    tCC = trans[:C, :C]
+    rows = np.arange(B)
+    last = lengths - 1
+
+    # forward (alpha); ended rows carry their value so alpha[:, T-1]
+    # is alpha at each row's last step
+    alpha = np.zeros((B, T, C), dtype=np.float64)
+    alpha[:, 0] = trans[START, :C][None, :] + sc[:, 0]
+    for t in range(1, T):
+        new = _logsumexp(alpha[:, t - 1][:, :, None] + tCC[None], axis=1) + sc[:, t]
+        alpha[:, t] = np.where((t < lengths)[:, None], new, alpha[:, t - 1])
+    logZ = _logsumexp(alpha[:, T - 1] + trans[:C, END][None, :], axis=1)  # [B]
+
+    # backward (beta), initialized at each row's last position
+    beta = np.zeros((B, T, C), dtype=np.float64)
+    beta[rows, last] = trans[:C, END][None, :]
+    for t in range(T - 2, -1, -1):
+        nxt = sc[:, t + 1] + beta[:, t + 1]  # [B,C]
+        val = _logsumexp(tCC[None] + nxt[:, None, :], axis=2)
+        beta[:, t] = np.where((t + 1 < lengths)[:, None], val, beta[:, t])
+
+    # unary marginals, zeroed past each length
+    u = np.exp(alpha + beta - logZ[:, None, None])
+    u[np.arange(T)[None, :] >= lengths[:, None]] = 0.0
+
+    d_scores = np.zeros((B, T, S), dtype=np.float64)
+    d_scores[:, :, :C] = u
+    valid_bt = np.arange(T)[None, :] < lengths[:, None]
+    vb, vt = np.nonzero(valid_bt)
+    np.subtract.at(d_scores, (vb, vt, gold[vb, vt]), 1.0)
+
+    d_trans = np.zeros((S, S), dtype=np.float64)
+    # pairwise marginals per step
+    for t in range(1, T):
+        act = t < lengths
+        if not act.any():
+            break
+        A = (
+            alpha[act, t - 1][:, :, None]
+            + tCC[None]
+            + (sc[act, t] + beta[act, t])[:, None, :]
+            - logZ[act][:, None, None]
+        )
+        d_trans[:C, :C] += np.exp(A).sum(axis=0)
+    d_trans[START, :C] += u[:, 0, :].sum(axis=0)
+    d_trans[:C, END] += u[rows, last, :].sum(axis=0)
+    # minus gold-path counts
+    np.subtract.at(d_trans, (np.full(B, START), gold[:, 0]), 1.0)
+    np.subtract.at(d_trans, (gold[rows, last], np.full(B, END)), 1.0)
+    for t in range(1, T):
+        act = t < lengths
+        if not act.any():
+            break
+        np.subtract.at(d_trans, (gold[act, t - 1], gold[act, t]), 1.0)
+
+    # gold-path score for the loss
+    gold_unary = np.where(valid_bt, np.take_along_axis(sc, gold[:, :, None], axis=2)[:, :, 0], 0.0).sum(axis=1)
+    gold_trans = trans[START, gold[:, 0]] + trans[gold[rows, last], END]
+    for t in range(1, T):
+        act = t < lengths
+        gold_trans = gold_trans + np.where(act, tCC[gold[:, t - 1], gold[:, t]], 0.0)
+    loss_sum = float((logZ - gold_unary - gold_trans).sum())
+    return loss_sum, d_scores, d_trans
+
+
 def argmax_decode(scores, lengths):
     """No-CRF path (reference ``use_crf=False``: ``tf.argmax`` per
     token, SURVEY O2): independent per-token argmax over real classes."""

@@ -182,9 +182,16 @@ def tag_tokens(
     bundle: dict,
     n_partitions: int | None = None,
     use_crf: bool = True,
+    validate: bool = False,
 ) -> DataFrame:
     """tokens(doc_id, sent_id, pos, token, start, end) ->
-    tagged(..., label) — BIOES labels from the broadcast model."""
+    tagged(..., label) — BIOES labels from the broadcast model.
+
+    ``validate=True`` is the P5 gate (reference hard-fails on its P4
+    invariant the same way): the tagged output is materialized via
+    localCheckpoint, BIOES well-formedness is asserted, and the job
+    raises on any violation instead of emitting malformed spans.
+    """
     sentences = sentences_from_tokens(tokens)
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 2
@@ -192,4 +199,12 @@ def tag_tokens(
     # spread across ALL partitions instead of hot-spotting one task
     salted = sentences.repartition(n_partitions, F.xxhash64("doc_id", "sent_id"))
     bundle_bc = spark.sparkContext.broadcast(bundle)
-    return salted.mapInPandas(make_tag_fn(bundle_bc, use_crf), schema=TAGGED_SCHEMA)
+    tagged = salted.mapInPandas(make_tag_fn(bundle_bc, use_crf), schema=TAGGED_SCHEMA)
+    if validate:
+        from neuroner_spark.functions.tags import bioes_violations
+
+        tagged = tagged.localCheckpoint()  # one tagger pass feeds gate + consumers
+        n_bad = bioes_violations(tagged, label_col="label").count()
+        if n_bad > 0:
+            raise ValueError(f"tagger emitted {n_bad} ill-formed BIOES labels")
+    return tagged

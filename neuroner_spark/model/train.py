@@ -35,6 +35,7 @@ from pyspark.sql import types as T
 
 from neuroner_spark.model.bilstm_crf import (
     backward_features,
+    crf_loss_grad,
     forward_features,
     forward_features_cache,
 )
@@ -131,12 +132,31 @@ FULL_PARAM_ORDER = [
 ]
 
 
-def _make_full_grad_fn(bundle_bc, label_to_idx: dict[str, int], train_embeddings: bool):
-    """mapInPandas gradient worker for the FULL network (softmax NLL on
-    the output head, backprop through FF + token Bi-LSTM via
-    ``backward_features``; embedding rows too when train_embeddings).
-    One gradient row out per partition, like the head-only worker —
-    the row is just bigger (O(model), still a few MB)."""
+def _full_param_names(train_embeddings: bool, loss: str) -> list[str]:
+    names = list(FULL_PARAM_ORDER)
+    if loss == "crf":
+        names.append("crf_transitions")
+    if train_embeddings:
+        names.append("token_emb")
+    return names
+
+
+def _make_full_grad_fn(
+    bundle_bc,
+    label_to_idx: dict[str, int],
+    train_embeddings: bool,
+    loss: str = "softmax",
+):
+    """mapInPandas gradient worker for the FULL network, backprop
+    through FF + token Bi-LSTM via ``backward_features`` (embedding
+    rows too when train_embeddings).  One gradient row out per
+    partition, like the head-only worker — the row is just bigger
+    (O(model), still a few MB).
+
+    loss: 'softmax' (per-token NLL) or 'crf' (sentence-level CRF
+    log-likelihood via batched forward-backward — the reference's
+    actual ``crf_log_likelihood`` objective; adds the transition
+    matrix to the trainable set)."""
 
     def grad_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         bundle = bundle_bc.value
@@ -157,7 +177,7 @@ def _make_full_grad_fn(bundle_bc, label_to_idx: dict[str, int], train_embeddings
                 )
             return pd.Series(uniq, dtype=object).map(vocab_s).fillna(0).to_numpy(np.int64)
 
-        names = list(FULL_PARAM_ORDER) + (["token_emb"] if train_embeddings else [])
+        names = _full_param_names(train_embeddings, loss)
         acc = {n: np.zeros(arrays[n].shape, dtype=np.float64) for n in names}
         loss_sum, n_tok = 0.0, 0
         for pdf in batches:
@@ -179,20 +199,36 @@ def _make_full_grad_fn(bundle_bc, label_to_idx: dict[str, int], train_embeddings
                 )
                 token_ids, char_feat, row_idx, col_idx = _encode_flat(flat_tokens, lengths, vmap, arrays)
                 ff, cache = forward_features_cache(token_ids, char_feat, lengths, arrays)
-                feats = ff[row_idx, col_idx]  # [N,FF_DIM] valid tokens
-                logits = feats @ W[:, :C] + b[:C]
-                logits -= logits.max(axis=1, keepdims=True)
-                p = np.exp(logits)
-                p /= p.sum(axis=1, keepdims=True)
                 n = len(labels_flat)
-                loss_sum += float(-np.log(p[np.arange(n), labels_flat] + 1e-12).sum())
                 n_tok += n
-                p[np.arange(n), labels_flat] -= 1.0  # d_logits (unnormalized)
-                acc["out_W"][:, :C] += feats.T.astype(np.float64) @ p.astype(np.float64)
-                acc["out_b"][:C] += p.sum(axis=0)
-                d_feats = (p @ W[:, :C].T).astype(np.float32)
-                d_ff = np.zeros_like(ff)
-                d_ff[row_idx, col_idx] = d_feats
+                if loss == "crf":
+                    scores = ff @ W + b  # [B,T,S]
+                    gold = np.zeros(token_ids.shape, dtype=np.int64)
+                    gold[row_idx, col_idx] = labels_flat
+                    l_b, d_scores, d_tr = crf_loss_grad(
+                        scores, lengths, gold, arrays["crf_transitions"]
+                    )
+                    loss_sum += l_b
+                    acc["crf_transitions"] += d_tr
+                    S = d_scores.shape[2]
+                    ff_flat = ff.reshape(-1, ff.shape[2]).astype(np.float64)
+                    ds_flat = d_scores.reshape(-1, S)
+                    acc["out_W"] += ff_flat.T @ ds_flat
+                    acc["out_b"] += ds_flat.sum(axis=0)
+                    d_ff = (d_scores @ W.T.astype(np.float64)).astype(ff.dtype)
+                else:
+                    feats = ff[row_idx, col_idx]  # [N,FF_DIM] valid tokens
+                    logits = feats @ W[:, :C] + b[:C]
+                    logits -= logits.max(axis=1, keepdims=True)
+                    p = np.exp(logits)
+                    p /= p.sum(axis=1, keepdims=True)
+                    loss_sum += float(-np.log(p[np.arange(n), labels_flat] + 1e-12).sum())
+                    p[np.arange(n), labels_flat] -= 1.0  # d_logits (unnormalized)
+                    acc["out_W"][:, :C] += feats.T.astype(np.float64) @ p.astype(np.float64)
+                    acc["out_b"][:C] += p.sum(axis=0)
+                    d_feats = (p @ W[:, :C].T).astype(np.float32)
+                    d_ff = np.zeros_like(ff)
+                    d_ff[row_idx, col_idx] = d_feats
                 grads, dx = backward_features(d_ff, cache, arrays)
                 for k, v in grads.items():
                     acc[k] += v
@@ -224,6 +260,7 @@ def train_full_network(
     clip: float = 5.0,
     momentum: float = 0.9,
     train_embeddings: bool = False,
+    loss: str = "softmax",
 ) -> dict:
     """Reference ``src/neuroner.py :: fit`` parity: train the WHOLE
     network (token Bi-LSTM + FF + output head, optionally token
@@ -244,7 +281,7 @@ def train_full_network(
     label_to_idx = {l: i for i, l in enumerate(LABELS)}
     sentences = _labeled_sentences(tokens).cache()
     sentences.count()
-    names = list(FULL_PARAM_ORDER) + (["token_emb"] if train_embeddings else [])
+    names = _full_param_names(train_embeddings, loss)
     history = []
     best_loss, best_epoch, stall = float("inf"), -1, 0
     cur = dict(bundle, arrays={k: v.copy() for k, v in bundle["arrays"].items()})
@@ -258,7 +295,7 @@ def train_full_network(
         )
         bc = spark.sparkContext.broadcast(cur)
         rows = shuffled.mapInPandas(
-            _make_full_grad_fn(bc, label_to_idx, train_embeddings), GRAD_SCHEMA
+            _make_full_grad_fn(bc, label_to_idx, train_embeddings, loss), GRAD_SCHEMA
         ).collect()
         bc.destroy()
         grad = np.zeros(total, dtype=np.float64)
@@ -279,12 +316,14 @@ def train_full_network(
             new_arrays[n] = cur["arrays"][n] - lr * g
             off += sz
         cur = dict(cur, arrays=new_arrays)
-        loss = loss_sum / max(n_tok, 1)
-        history.append({"epoch": epoch, "loss": round(loss, 6), "n_tokens": n_tok, "grad_norm": round(gnorm, 6)})
+        # NB: do not name this `loss` — that would shadow the loss-mode
+        # parameter and silently switch objective after epoch 0
+        epoch_loss = loss_sum / max(n_tok, 1)
+        history.append({"epoch": epoch, "loss": round(epoch_loss, 6), "n_tokens": n_tok, "grad_norm": round(gnorm, 6)})
         if checkpoint_dir:
             save_bundle(cur, os.path.join(checkpoint_dir, f"epoch_{epoch}"))
-        if loss < best_loss - 1e-6:
-            best_loss, best_epoch, stall = loss, epoch, 0
+        if epoch_loss < best_loss - 1e-6:
+            best_loss, best_epoch, stall = epoch_loss, epoch, 0
         else:
             stall += 1
             if stall >= patience:

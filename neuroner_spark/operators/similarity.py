@@ -41,10 +41,14 @@ def _take_topk(scored: DataFrame, k: int) -> DataFrame:
     """Distributed top-k of a scored frame: TakeOrderedAndProject via
     orderBy().limit(k) (each partition keeps a k-heap; only k rows ever
     meet), then rank assigned over the k survivors only.  The rank
-    window is partitioned (by a constant) so no unbounded WindowExec is
-    planned — it touches k rows, not the corpus."""
+    window partitions on vec_id % 1 — constant-valued but NOT foldable
+    (a literal would be constant-folded to an empty partition spec and
+    re-plan the unpartitioned WindowExec this exists to avoid); it
+    touches k rows, not the corpus."""
     top = scored.orderBy(F.desc("cos_sim"), F.asc("vec_id")).limit(k)
-    w = Window.partitionBy(F.lit(1)).orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    w = Window.partitionBy(F.pmod(F.col("vec_id"), F.lit(1))).orderBy(
+        F.desc("cos_sim"), F.asc("vec_id")
+    )
     return top.withColumn("rank", F.row_number().over(w).cast("long"))
 
 

@@ -181,15 +181,17 @@ def triples_from_linked(linked: DataFrame, canon: DataFrame, pages_meta: DataFra
     )
 
 
-def neural_mentions(spark: SparkSession, tokens: DataFrame, bundle: dict) -> DataFrame:
+def neural_mentions(
+    spark: SparkSession, tokens: DataFrame, bundle: dict, validate: bool = False
+) -> DataFrame:
     """D1 path: BiLSTM-CRF tag -> conlleval span extraction ->
     mention rows shaped like the gazetteer output (surface_norm for
-    candidate gen)."""
+    candidate gen).  ``validate`` turns on the P5 BIOES gate."""
     from neuroner_spark.functions.normalize import surface_norm as _sn
     from neuroner_spark.model.tagger import tag_tokens
     from neuroner_spark.operators.spans import extract_spans
 
-    tagged = tag_tokens(spark, tokens, bundle)
+    tagged = tag_tokens(spark, tokens, bundle, validate=validate)
     spans = extract_spans(tagged, label_col="label")
     return spans.select(
         "doc_id",
@@ -212,12 +214,15 @@ def run_pipeline(
     use_fuzzy: bool = False,
     mention_source: str = "gazetteer",
     bundle: dict | None = None,
+    validate: bool = False,
 ) -> dict:
     """Run all stages with checkpoint/resume; returns
     {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
 
     mention_source: 'gazetteer' (J8 broadcast n-gram match) or
     'neural' (D1 BiLSTM-CRF tagger; requires ``bundle``).
+    validate: P5 BIOES gate on the neural tagger's output (hard-fail
+    on ill-formed label sequences, reference P4-style).
     """
     os.makedirs(out_dir, exist_ok=True)
     lineage: list[dict] = []
@@ -248,7 +253,9 @@ def run_pipeline(
             h.update(name.encode())
             h.update(bundle["arrays"][name].tobytes())
         fp_mentions = fp_pages + f"|neural:{bundle['vocab_size']}:{h.hexdigest()[:12]}"
-        mentions = stage("mentions", fp_mentions, lambda: neural_mentions(spark, tokens, bundle))
+        mentions = stage(
+            "mentions", fp_mentions, lambda: neural_mentions(spark, tokens, bundle, validate=validate)
+        )
     else:
         fp_mentions = fp_pages + "|" + fp_alias + "|gaz"
         mentions = stage("mentions", fp_mentions, lambda: match_mentions(tokens, alias_dict))

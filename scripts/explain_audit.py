@@ -12,7 +12,8 @@ sys.path.insert(0, ".")
 
 INTERESTING = re.compile(
     r"PushedFilters|ReadSchema|BroadcastHashJoin|SortMergeJoin|Exchange|"
-    r"HashAggregate|WindowGroupLimit|ArrowEvalPython|MapInPandas|Scan parquet"
+    r"HashAggregate|WindowGroupLimit|ArrowEvalPython|MapInPandas|Scan parquet|"
+    r"TakeOrderedAndProject|Window"
 )
 
 
@@ -42,12 +43,20 @@ def main() -> None:
     )
     from neuroner_spark.plans.catalog_text import q_dedup_jaccard
 
+    from neuroner_spark.plans.catalog_text import q_knn_cosine
+
     show("pricing_summary", q_pricing_summary(spark, sf))
     show("region_acctbal", q_region_acctbal(spark, sf))
     show("user_sessions", q_user_sessions(spark, sf))
     show("dedup_jaccard", q_dedup_jaccard(spark, sf))
     show("tokenize", tokenize(spark.read.parquet(f"{sf}/documents.parquet")))
     show("match_mentions", match_mentions(_mention_tokens(spark, sf), _aliases(spark)))
+    # r2 fixes: top-k must plan as TakeOrderedAndProject (never a global
+    # window); vocab_freq must have no unpartitioned WindowExec
+    knn = q_knn_cosine(spark, sf)
+    show("knn_cosine", knn)
+    plan = knn._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, "top-k lost its TakeOrderedAndProject plan"
 
 
 if __name__ == "__main__":

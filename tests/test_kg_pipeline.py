@@ -132,3 +132,50 @@ def test_neural_pipeline_end_to_end(spark, tmp_path):
     )
     assert all(m.get("resumed") for m in res2["lineage"])
     assert sorted(map(tuple, res2["triples"].collect())) == t1
+
+
+def test_mention_source_switch_invalidates_downstream(spark, tmp_path):
+    """ADVICE fix: switching gazetteer -> neural with resume=True must
+    rebuild mentions AND linked AND triples (the mention-source is part
+    of every downstream fingerprint), while page/canonical stages keyed
+    only on unchanged inputs resume; retraining the bundle (out_W
+    change) must also invalidate, and changed page TEXT under the same
+    urls must invalidate the page stages."""
+    import numpy as np
+
+    from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.model.weights import build_vocab, make_bundle
+    from neuroner_spark.plans.kg_pipeline import normalize_pages
+
+    pages = pages_df(spark, 60)
+    aliases = alias_df(spark)
+    out = str(tmp_path / "switch_out")
+    run_pipeline(spark, pages, aliases, out, resume=True)
+
+    toks = tokenize(normalize_pages(pages))
+    vocab = build_vocab([r["token"] for r in toks.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    res2 = run_pipeline(
+        spark, pages, aliases, out, resume=True, mention_source="neural", bundle=bundle
+    )
+    by = {m["stage"]: m for m in res2["lineage"]}
+    for stage in ("mentions", "linked", "triples"):
+        assert not by[stage].get("resumed"), stage
+    for stage in ("normalized", "tokens", "canonical"):
+        assert by[stage].get("resumed"), stage
+
+    # retrained head (out_W changed, crf_transitions identical) -> the
+    # full-weight digest must invalidate mentions again
+    b2 = dict(bundle, arrays={k: v.copy() for k, v in bundle["arrays"].items()})
+    b2["arrays"]["out_W"] = b2["arrays"]["out_W"] + np.float32(0.01)
+    res3 = run_pipeline(
+        spark, pages, aliases, out, resume=True, mention_source="neural", bundle=b2
+    )
+    by3 = {m["stage"]: m for m in res3["lineage"]}
+    assert not by3["mentions"].get("resumed")
+
+    # same urls, different text -> page fingerprint changes
+    changed = pages.withColumn("text", F.concat(F.col("text"), F.lit(" extra")))
+    res4 = run_pipeline(spark, changed, aliases, out, resume=True)
+    by4 = {m["stage"]: m for m in res4["lineage"]}
+    assert not by4["normalized"].get("resumed")

@@ -243,3 +243,83 @@ def test_salted_repartition_defuses_giant_doc_skew(spark):
     by_doc = sentences_from_tokens(tokens).repartition(8, F.col("doc_id"))
     worst = max(r["count"] for r in by_doc.groupBy(F.spark_partition_id()).count().collect())
     assert worst >= 2000
+
+
+def test_tagger_bioes_validation_gate(spark):
+    """P5 gate (reference P4-style hard fail): validate=True passes on
+    well-formed output and raises on ill-formed label sequences."""
+    import numpy as np
+    import pytest
+
+    from neuroner_spark.model.tagger import tag_tokens
+    from neuroner_spark.model.weights import LABELS, make_bundle
+
+    tokens = spark.createDataFrame(
+        [("d1", 0, i, t, i, i + 1) for i, t in enumerate(["alpha", "beta", "gamma"])],
+        "doc_id string, sent_id long, pos int, token string, start long, end long",
+    )
+    bundle = make_bundle({"alpha": 1, "beta": 2, "gamma": 3}, seed=42)
+
+    def biased(label: str) -> dict:
+        b = dict(bundle, arrays={k: v.copy() for k, v in bundle["arrays"].items()})
+        out_b = b["arrays"]["out_b"]
+        out_b[:] = -10.0
+        out_b[LABELS.index(label)] = 10.0
+        b["arrays"]["crf_transitions"] = np.zeros_like(b["arrays"]["crf_transitions"])
+        return b
+
+    # all-O output is trivially well-formed -> gate passes
+    ok = tag_tokens(spark, tokens, biased("O"), n_partitions=2, validate=True)
+    assert ok.count() == 3
+    # all-I-PER output violates continuation_without_begin -> gate raises
+    with pytest.raises(ValueError, match="ill-formed BIOES"):
+        tag_tokens(spark, tokens, biased("I-PER"), n_partitions=2, validate=True)
+
+
+def test_crf_loss_grad_bruteforce_and_finite_diff():
+    """crf_loss_grad == brute-force path enumeration (logZ + gold
+    score) and finite-difference gradients, start/end augmented."""
+    from itertools import product
+
+    import numpy as np
+
+    from neuroner_spark.model.bilstm_crf import crf_loss_grad
+    from neuroner_spark.model.weights import END, N_CLASSES, START
+
+    rng = np.random.default_rng(3)
+    C, S = N_CLASSES, N_CLASSES + 2
+    B, T = 2, 3
+    scores = rng.normal(0, 1, (B, T, S))
+    trans = rng.normal(0, 1, (S, S))
+    lengths = np.array([3, 2])
+    gold = rng.integers(0, C, (B, T))
+
+    def path_score(b, path):
+        s = trans[START, path[0]] + scores[b, 0, path[0]]
+        for t in range(1, len(path)):
+            s += trans[path[t - 1], path[t]] + scores[b, t, path[t]]
+        return s + trans[path[-1], END]
+
+    loss, d_sc, d_tr = crf_loss_grad(scores, lengths, gold, trans)
+    loss_bf = 0.0
+    for b in range(B):
+        sc = [path_score(b, p) for p in product(range(C), repeat=int(lengths[b]))]
+        m = max(sc)
+        logZ = m + np.log(sum(np.exp(s - m) for s in sc))
+        loss_bf += logZ - path_score(b, list(gold[b, : lengths[b]]))
+    assert abs(loss - loss_bf) < 1e-8
+    eps = 1e-6
+    for _ in range(8):
+        b, t, c = rng.integers(B), rng.integers(T), rng.integers(S)
+        up, dn = scores.copy(), scores.copy()
+        up[b, t, c] += eps
+        dn[b, t, c] -= eps
+        num = (crf_loss_grad(up, lengths, gold, trans)[0] - crf_loss_grad(dn, lengths, gold, trans)[0]) / (2 * eps)
+        assert abs(num - d_sc[b, t, c]) < 1e-5
+    for _ in range(8):
+        a, b2 = rng.integers(S), rng.integers(S)
+        up, dn = trans.copy(), trans.copy()
+        up[a, b2] += eps
+        dn[a, b2] -= eps
+        num = (crf_loss_grad(scores, lengths, gold, up)[0] - crf_loss_grad(scores, lengths, gold, dn)[0]) / (2 * eps)
+        assert abs(num - d_tr[a, b2]) < 1e-5

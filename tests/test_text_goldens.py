@@ -41,3 +41,29 @@ def test_html_extraction_consistent_with_text(spark):
 
     for r in extracted.select("text", "text_from_html").collect():
         assert r["text_from_html"] == re.sub(r"\s+", " ", r["text"]).strip()
+
+
+# --- pluggable tokenizer seam (reference `tokenizer` INI param) --------
+def test_pluggable_tokenizer_seam(spark):
+    from neuroner_spark.functions.tokenize import tokenize
+
+    # nested def -> cloudpickle ships it by value to the workers
+    def _whitespace_tokenizer(text):
+        import re
+
+        return [
+            (0, i, m.group(0), m.start(), m.end())
+            for i, m in enumerate(re.finditer(r"\S+", text))
+        ]
+
+    docs = spark.createDataFrame([("d1", "Hello world. Bye")], "doc_id string, text string")
+    rows = sorted(
+        tokenize(docs, tokenize_fn=_whitespace_tokenizer).collect(),
+        key=lambda r: (r["sent_id"], r["pos"]),
+    )
+    assert [r["token"] for r in rows] == ["Hello", "world.", "Bye"]
+    assert [(r["start"], r["end"]) for r in rows] == [(0, 5), (6, 12), (13, 16)]
+    # default (pinned regex) path unchanged: sentence split at '.'
+    dflt = sorted(tokenize(docs).collect(), key=lambda r: (r["sent_id"], r["pos"]))
+    assert [r["token"] for r in dflt] == ["Hello", "world", ".", "Bye"]
+    assert [r["sent_id"] for r in dflt] == [0, 0, 0, 1]

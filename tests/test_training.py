@@ -216,3 +216,56 @@ def test_crf_transition_training_reduces_errors(spark):
     head = train_output_layer(spark, corpus, bundle, epochs=4, lr=1.0, patience=4)
     res2 = train_crf_transitions(spark, corpus, head["bundle"], epochs=4, lr=0.5)
     assert res2["history"][-1]["token_errors"] == 0
+
+
+def test_full_network_crf_loss_training(spark):
+    """Reference crf_log_likelihood objective end-to-end: sentence-level
+    CRF NLL decreases and Viterbi-decoded accuracy improves over the
+    untrained bundle; the transition matrix is part of the update."""
+    import numpy as np
+
+    from neuroner_spark.model.train import train_full_network
+
+    corpus = _corpus_in_domain(spark)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    acc_before = _accuracy_crf(spark, corpus, bundle)
+    res = train_full_network(
+        spark,
+        corpus,
+        bundle,
+        epochs=6,
+        lr=0.5,
+        momentum=0.0,
+        patience=6,
+        loss="crf",
+        train_embeddings=True,
+    )
+    losses = [h["loss"] for h in res["history"]]
+    assert losses[-1] < losses[0] / 2, losses
+    assert not np.array_equal(
+        res["bundle"]["arrays"]["crf_transitions"], bundle["arrays"]["crf_transitions"]
+    )
+    acc_after = _accuracy_crf(spark, corpus, res["bundle"])
+    assert acc_after > acc_before, (acc_before, acc_after)
+
+
+def _accuracy_crf(spark, tokens, bundle):
+    from neuroner_spark.model.tagger import tag_tokens
+
+    tagged = tag_tokens(
+        spark,
+        tokens.withColumn("start", F.col("pos").cast("long")).withColumn(
+            "end", (F.col("pos") + 1).cast("long")
+        ),
+        bundle,
+        n_partitions=4,
+        use_crf=True,
+    )
+    joined = tagged.withColumnRenamed("label", "pred").join(
+        tokens.select("doc_id", "sent_id", "pos", F.col("label").alias("gold")),
+        ["doc_id", "sent_id", "pos"],
+    )
+    return joined.agg(
+        F.avg((F.col("pred") == F.col("gold")).cast("double")).alias("acc")
+    ).collect()[0]["acc"]
