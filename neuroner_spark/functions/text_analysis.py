@@ -100,3 +100,58 @@ def hash28(col: Column, salt: int = 0) -> Column:
     default) and within DuckDB BIGINT."""
     salted = F.concat(F.lit(f"{salt}:"), col) if salt else col
     return F.conv(F.substring(F.md5(salted), 1, 7), 16, 10).cast("long")
+
+
+def repetition_metrics(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1 'repetition
+    removal'): per document, the duplicate-word fraction, the most-
+    frequent-word fraction, and the most-frequent-bigram fraction —
+    the standard quality gate that drops boilerplate/spam pages before
+    LLM training.
+
+    Plan shape at 10^12 docs: one posexplode + one lead window keyed by
+    (doc, pos) + two per-doc hash aggregations joined on doc_id — all
+    JVM-side, shuffles keyed by doc_id only (no global stage).
+    Output: (doc_id, n_words, dup_word_frac, top_word_frac,
+    top_bigram_frac, flagged).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), " ")).alias("pos", "w"),
+    )
+    wc = toks.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    wstat = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.count("*").cast("long").alias("n_distinct"),
+        F.max("c").cast("long").alias("max_word"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    bg = (
+        toks.withColumn("w2", F.lead("w").over(w))
+        .filter(F.col("w2").isNotNull())
+        .withColumn("b", F.concat_ws(" ", F.col("w"), F.col("w2")))
+    )
+    bstat = (
+        bg.groupBy("doc_id", "b")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.max("c").cast("long").alias("max_bigram"),
+        )
+    )
+    top_word = F.col("max_word") / F.col("n_words")
+    top_bigram = F.col("max_bigram") / F.col("n_bigrams")
+    return (
+        wstat.join(bstat, "doc_id")
+        .select(
+            "doc_id",
+            "n_words",
+            F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
+            F.round(top_word, 6).alias("top_word_frac"),
+            F.round(top_bigram, 6).alias("top_bigram_frac"),
+            ((top_word > 0.2) | (top_bigram > 0.18)).alias("flagged"),
+        )
+    )

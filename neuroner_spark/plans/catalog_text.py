@@ -331,3 +331,44 @@ QUERIES = {
     "knn_join": (q_knn_join, SQL_KNN_JOIN),
     "lsh_signatures": (q_lsh_signatures, SQL_LSH_SIGNATURES),
 }
+
+
+# --- Gopher-style repetition filters (LLM-data quality gate)
+def q_gopher_repetition(spark, sf_dir):
+    from neuroner_spark.functions.text_analysis import repetition_metrics
+
+    return repetition_metrics(_docs(spark, sf_dir))
+
+
+SQL_GOPHER_REPETITION = """
+WITH toks AS (
+  SELECT CAST(doc_id AS VARCHAR) AS doc_id, pos, w FROM (
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS w,
+           unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+    FROM documents)
+), wc AS (
+  SELECT doc_id, w, count(*) AS c FROM toks GROUP BY 1, 2
+), wstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+         CAST(count(*) AS BIGINT) AS n_distinct, CAST(max(c) AS BIGINT) AS max_word
+  FROM wc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id, w || ' ' || lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS b
+  FROM toks
+), bc AS (
+  SELECT doc_id, b, count(*) AS c FROM bg WHERE b IS NOT NULL GROUP BY 1, 2
+), bstat AS (
+  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams, CAST(max(c) AS BIGINT) AS max_bigram
+  FROM bc GROUP BY doc_id
+)
+SELECT w.doc_id, n_words,
+       round(1.0 - CAST(n_distinct AS DOUBLE) / n_words, 6) AS dup_word_frac,
+       round(CAST(max_word AS DOUBLE) / n_words, 6) AS top_word_frac,
+       round(CAST(max_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
+       (CAST(max_word AS DOUBLE) / n_words > 0.2
+        OR CAST(max_bigram AS DOUBLE) / n_bigrams > 0.18) AS flagged
+FROM wstat w JOIN bstat b ON w.doc_id = b.doc_id
+"""
+
+QUERIES["gopher_repetition"] = (q_gopher_repetition, SQL_GOPHER_REPETITION)

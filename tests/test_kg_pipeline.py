@@ -179,3 +179,26 @@ def test_mention_source_switch_invalidates_downstream(spark, tmp_path):
     res4 = run_pipeline(spark, changed, aliases, out, resume=True)
     by4 = {m["stage"]: m for m in res4["lineage"]}
     assert not by4["normalized"].get("resumed")
+
+
+def test_neural_pipeline_hashed_vocab_bundle(spark, tmp_path):
+    """Collect-free encoder path end-to-end: a hashed-vocab bundle
+    (vocab=None, feature-hashed ids) runs the neural pipeline and its
+    fingerprint uses vocab_size (len(None) used to TypeError here)."""
+    from neuroner_spark.model.weights import make_bundle
+
+    pages = pages_df(spark, 40)
+    bundle = make_bundle(512, seed=42)  # int -> hashed mode, vocab=None
+    out = str(tmp_path / "hashed_out")
+    res = run_pipeline(
+        spark, pages, alias_df(spark), out, resume=True,
+        mention_source="neural", bundle=bundle,
+    )
+    by = {m["stage"]: m for m in res["lineage"]}
+    assert by["mentions"]["n_rows"] >= 0  # ran without TypeError
+    # resume works with the hashed fingerprint too
+    res2 = run_pipeline(
+        spark, pages, alias_df(spark), out, resume=True,
+        mention_source="neural", bundle=bundle,
+    )
+    assert all(m.get("resumed") for m in res2["lineage"])

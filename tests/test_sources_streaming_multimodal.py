@@ -249,3 +249,60 @@ def test_brat_to_conll_alignment(spark, tmp_path):
     spans = extract_spans(labeled, label_col="label")
     round_tripped = {(r["start"], r["end"], r["type"]) for r in spans.collect()}
     assert round_tripped == {(0, 11, "PER"), (16, 19, "PER"), (23, 28, "LOC"), (30, 33, "PER")}
+
+
+def test_streaming_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data handling: with a watermark on warc_ts, rows arriving
+    in a later micro-batch with timestamps older than (max_ts -
+    watermark) are excluded from the windowed aggregate state."""
+    import datetime as dt
+
+    from neuroner_spark.streaming.ingest import host_rate_windows, read_pages_stream
+
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    outdir = str(tmp_path / "agg_out")
+    base = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def page(url, ts):
+        return (url, ts, None, "text", "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    # batch 1: fresh rows advance the watermark to ~12:00 - 2h
+    spark.createDataFrame(
+        [page(f"https://a.example/{i}", base) for i in range(5)], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+
+    def drain():
+        q = (
+            host_rate_windows(read_pages_stream(spark, landing), "1 hour", "2 hours")
+            .writeStream.format("parquet")
+            .option("path", outdir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    # batch 2: one fresh row far ahead (advances watermark past the old
+    # window) and one very late row (8h old -> behind the watermark)
+    spark.createDataFrame(
+        [
+            page("https://a.example/new", base + dt.timedelta(hours=6)),
+            page("https://late.example/x", base - dt.timedelta(hours=8)),
+        ],
+        schema,
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    # batch 3: another fresh row closes remaining windows
+    spark.createDataFrame(
+        [page("https://a.example/newer", base + dt.timedelta(hours=12))], schema
+    ).coalesce(1).write.mode("append").parquet(landing)
+    drain()
+    rows = spark.read.parquet(outdir).collect()
+    hosts = {r["host"] for r in rows}
+    # the late host's window was behind the watermark when it arrived
+    assert "late.example" not in hosts, rows
+    assert "a.example" in hosts
