@@ -261,6 +261,7 @@ def train_full_network(
     momentum: float = 0.9,
     train_embeddings: bool = False,
     loss: str = "softmax",
+    eval_tokens: DataFrame | None = None,
 ) -> dict:
     """Reference ``src/neuroner.py :: fit`` parity: train the WHOLE
     network (token Bi-LSTM + FF + output head, optionally token
@@ -277,6 +278,14 @@ def train_full_network(
     and the hashed-vocab bundle caps it at vocab_size rows at web
     scale (a sparse/parameter-server aggregation is the 100x upgrade
     path, same loop shape).
+
+    ``eval_tokens`` (optional, (doc_id, sent_id, pos, token, label)):
+    the VALIDATION split.  When given, each epoch ends with a tagger
+    pass + conlleval phrase F1 on it (reference ``prediction_step`` +
+    ``evaluate_model`` per epoch), history records ``valid_f1``, and
+    patience tracks BEST VALID F1 (the reference's A8 criterion)
+    instead of train loss; the returned ``best_epoch``/``bundle`` are
+    the best-F1 ones.
     """
     label_to_idx = {l: i for i, l in enumerate(LABELS)}
     sentences = _labeled_sentences(tokens).cache()
@@ -284,6 +293,7 @@ def train_full_network(
     names = _full_param_names(train_embeddings, loss)
     history = []
     best_loss, best_epoch, stall = float("inf"), -1, 0
+    best_f1, best_bundle = -1.0, None
     cur = dict(bundle, arrays={k: v.copy() for k, v in bundle["arrays"].items()})
     sizes = [int(np.prod(cur["arrays"][n].shape)) for n in names]
     total = sum(sizes)
@@ -319,17 +329,29 @@ def train_full_network(
         # NB: do not name this `loss` — that would shadow the loss-mode
         # parameter and silently switch objective after epoch 0
         epoch_loss = loss_sum / max(n_tok, 1)
-        history.append({"epoch": epoch, "loss": round(epoch_loss, 6), "n_tokens": n_tok, "grad_norm": round(gnorm, 6)})
+        entry = {"epoch": epoch, "loss": round(epoch_loss, 6), "n_tokens": n_tok, "grad_norm": round(gnorm, 6)}
+        if eval_tokens is not None:
+            entry["valid_f1"] = round(evaluate_f1(spark, eval_tokens, cur), 6)
+        history.append(entry)
         if checkpoint_dir:
             save_bundle(cur, os.path.join(checkpoint_dir, f"epoch_{epoch}"))
-        if epoch_loss < best_loss - 1e-6:
+        if eval_tokens is not None:
+            # A8 reference criterion: best VALID F1, patience on stalls
+            if entry["valid_f1"] > best_f1 + 1e-9:
+                best_f1, best_epoch, best_bundle, stall = entry["valid_f1"], epoch, cur, 0
+            else:
+                stall += 1
+                if stall >= patience:
+                    break
+        elif epoch_loss < best_loss - 1e-6:
             best_loss, best_epoch, stall = epoch_loss, epoch, 0
         else:
             stall += 1
             if stall >= patience:
                 break
     sentences.unpersist()
-    return {"bundle": cur, "history": history, "best_epoch": best_epoch}
+    out_bundle = best_bundle if (eval_tokens is not None and best_bundle is not None) else cur
+    return {"bundle": out_bundle, "history": history, "best_epoch": best_epoch}
 
 
 TRANS_GRAD_SCHEMA = T.StructType(
@@ -459,6 +481,27 @@ def train_crf_transitions(
             break
     sentences.unpersist()
     return {"bundle": cur, "history": history}
+
+
+def evaluate_f1(spark: SparkSession, tokens: DataFrame, bundle: dict) -> float:
+    """Reference per-epoch evaluation: tag ``tokens(doc_id, sent_id,
+    pos, token, label)`` with the current bundle (Viterbi decode) and
+    return the overall conlleval phrase F1 against the gold ``label``
+    column.  One tagger pass + the A5 span-join metric — the same
+    pipeline QA instrument, reused as the training stop criterion."""
+    from neuroner_spark.model.tagger import tag_tokens
+    from neuroner_spark.operators.metrics import conlleval_f1
+
+    with_offsets = tokens.withColumn("start", F.col("pos").cast("long")).withColumn(
+        "end", (F.col("pos") + 1).cast("long")
+    )
+    tagged = tag_tokens(spark, with_offsets, bundle).withColumnRenamed("label", "pred")
+    joined = tagged.join(
+        tokens.select("doc_id", "sent_id", "pos", F.col("label").alias("gold")),
+        ["doc_id", "sent_id", "pos"],
+    )
+    rows = conlleval_f1(joined, "gold", "pred").filter(F.col("type") == "ALL").collect()
+    return float(rows[0]["f1"]) if rows else 0.0
 
 
 def _labeled_sentences(tokens: DataFrame) -> DataFrame:

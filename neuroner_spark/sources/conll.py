@@ -58,11 +58,23 @@ def read_conll(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
-def write_conll(tokens: DataFrame, path: str, label_cols: tuple[str, ...] = ("label",)) -> None:
+def write_conll(
+    tokens: DataFrame,
+    path: str,
+    label_cols: tuple[str, ...] = ("label",),
+    single_file: bool = True,
+) -> None:
     """K1 sink: render the token table back to CoNLL text lines
     (ordered within each output file by sentence/pos; blank-line
     sentence separators are restored by the reader's W1 inverse —
     we emit an explicit empty line row per sentence end).
+
+    ``single_file=True`` (default) does a global sort + coalesce(1) —
+    the GOLDEN-FILE mode, single-task by design, for test corpora only.
+    ``single_file=False`` is the distributed sink: docs are hash-
+    repartitioned and each output file is internally ordered by
+    (doc_id, sent_id, pos) with whole docs co-located — no global sort,
+    no single task, byte-identical content per doc either way.
     """
     line = F.concat_ws(" ", F.col("token"), *[F.col(c) for c in label_cols])
     body = tokens.select(
@@ -73,5 +85,14 @@ def write_conll(tokens: DataFrame, path: str, label_cols: tuple[str, ...] = ("la
         .agg((F.max("pos") + 1).cast("long").alias("ord"))
         .withColumn("value", F.lit(""))
     )
-    out = body.unionByName(seps).orderBy("doc_id", "sent_id", "ord").select("value")
-    out.coalesce(1).write.mode("overwrite").text(path)
+    both = body.unionByName(seps)
+    if single_file:
+        out = both.orderBy("doc_id", "sent_id", "ord").select("value")
+        out.coalesce(1).write.mode("overwrite").text(path)
+    else:
+        out = (
+            both.repartition(F.col("doc_id"))
+            .sortWithinPartitions("doc_id", "sent_id", "ord")
+            .select("value")
+        )
+        out.write.mode("overwrite").text(path)

@@ -58,6 +58,27 @@ def main() -> None:
     plan = knn._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan, "top-k lost its TakeOrderedAndProject plan"
 
+    # training epoch = ONE Exchange (the seeded-hash repartition) above
+    # the cached sentence table; orderBy(hash).repartition() would show 2
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.model.train import _labeled_sentences
+
+    toks = _mention_tokens(spark, sf).withColumn("label", F.lit("O"))
+    sentences = _labeled_sentences(toks).cache()
+    sentences.count()
+    epoch_df = sentences.repartition(4, F.xxhash64(F.lit(43), "doc_id", "sent_id"))
+    eplan = epoch_df._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in eplan, "epoch input not reading the cache"
+    # count Exchanges ABOVE the cache boundary only (the cached-relation
+    # description re-prints its own build plan below it)
+    above_cache = eplan.split("InMemoryTableScan", 1)[0]
+    n_exchange = above_cache.count("Exchange")
+    print(f"\n=== training epoch ===\nExchange nodes above cache: {n_exchange}")
+    assert n_exchange == 1, f"epoch plan has {n_exchange} Exchanges above the cache (want 1):\n{above_cache}"
+    sentences.unpersist()
+    print("\nall plan assertions passed")
+
 
 if __name__ == "__main__":
     main()

@@ -306,3 +306,22 @@ def test_streaming_watermark_drops_late_rows(spark, tmp_path):
     # the late host's window was behind the watermark when it arrived
     assert "late.example" not in hosts, rows
     assert "a.example" in hosts
+
+
+def test_write_conll_distributed_mode(spark, tmp_path):
+    """single_file=False: no global sort / coalesce(1); content per doc
+    is byte-identical to the golden mode (tokens+labels round-trip)."""
+    from neuroner_spark.sources.conll import read_conll, write_conll
+
+    src = str(tmp_path / "conll_src")
+    os.makedirs(src)
+    for d in range(4):
+        with open(os.path.join(src, f"doc{d}.txt"), "w") as f:
+            f.write(f"tok{d}a B-PER\ntok{d}b O\n\nnext{d} O\n")
+    toks = read_conll(spark, src)
+    out = str(tmp_path / "conll_dist")
+    write_conll(toks, out, single_file=False)
+    back = read_conll(spark, out)
+    a = sorted((r["token"], r["label"]) for r in back.collect())
+    b = sorted((r["token"], r["label"]) for r in toks.collect())
+    assert a == b

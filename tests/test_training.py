@@ -269,3 +269,27 @@ def _accuracy_crf(spark, tokens, bundle):
     return joined.agg(
         F.avg((F.col("pred") == F.col("gold")).cast("double")).alias("acc")
     ).collect()[0]["acc"]
+
+
+def test_full_network_valid_f1_early_stopping(spark):
+    """A8 reference criterion: patience tracks best VALID conlleval F1
+    (not train loss); history records valid_f1 per epoch and the
+    returned bundle is the best-F1 one."""
+    from neuroner_spark.model.train import evaluate_f1, train_full_network
+
+    corpus = _corpus_in_domain(spark)
+    # doc-id split: even docs train, odd docs validate
+    train = corpus.filter((F.col("doc_id").cast("long") % 2) == 0)
+    valid = corpus.filter((F.col("doc_id").cast("long") % 2) == 1)
+    vocab = build_vocab([r["token"] for r in train.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    # lr=0: F1 never improves after epoch 0 -> patience=2 stops by epoch 3
+    res = train_full_network(
+        spark, train, bundle, epochs=8, lr=0.0, patience=2, eval_tokens=valid
+    )
+    assert len(res["history"]) <= 4
+    assert all("valid_f1" in h for h in res["history"])
+    # the returned bundle is the best-F1 epoch's bundle and its F1 matches
+    f1s = [h["valid_f1"] for h in res["history"]]
+    assert res["best_epoch"] == f1s.index(max(f1s))
+    assert abs(evaluate_f1(spark, valid, res["bundle"]) - max(f1s)) < 1e-9
