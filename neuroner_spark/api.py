@@ -1,6 +1,11 @@
 """User-facing API mirroring the reference's entry points (SURVEY §3).
 
 Reference parity:
+- entry point 1, ``src/neuroner.py :: fit`` (≈L200–330): ``fit`` runs
+  full-network training driven by the reference's INI hyperparameters
+  (learning_rate, maximum_number_of_epochs, patience,
+  gradient_clipping_value) with per-epoch validation-F1 early stopping
+  and per-epoch checkpoints.
 - entry point 3, ``src/neuroner.py :: predict`` (≈L335–400): text in,
   list of {text, type, start, end} entity dicts out. Here ``predict``
   takes one text or a list and runs the full Spark path (normalize ->
@@ -53,3 +58,45 @@ def predict(spark: SparkSession, texts: str | list[str], bundle: dict, use_crf: 
 def evaluate(tagged_gold: DataFrame, gold_col: str = "gold", pred_col: str = "pred") -> DataFrame:
     """Pretrained-evaluation path: conlleval phrase F1 table."""
     return conlleval_f1(tagged_gold, gold_col, pred_col)
+
+
+def fit(
+    spark: SparkSession,
+    train_tokens: DataFrame,
+    bundle: dict,
+    valid_tokens: DataFrame | None = None,
+    config=None,
+    checkpoint_dir: str | None = None,
+    **overrides,
+) -> dict:
+    """Reference ``NeuroNER.fit``: train the full network on
+    ``train_tokens(doc_id, sent_id, pos, token, label)``.
+
+    Hyperparameters come from the reference's INI keys when a loaded
+    ``EngineConfig`` is given (``learning_rate``,
+    ``maximum_number_of_epochs``, ``patience``,
+    ``gradient_clipping_value`` — CLI-style ``overrides`` win, exactly
+    like ``main.py``).  With ``valid_tokens``, each epoch evaluates
+    conlleval F1 on the validation split and early-stops on best F1
+    (the reference's A8 criterion); otherwise patience is on train
+    loss.  Returns {'bundle', 'history', 'best_epoch'}.
+    """
+    from neuroner_spark.model.train import train_full_network
+
+    extra = dict(getattr(config, "extra", {}) or {})
+    kw = {
+        "epochs": int(extra.get("maximum_number_of_epochs", 100)),
+        "lr": float(extra.get("learning_rate", 0.005)),
+        "patience": int(extra.get("patience", 10)),
+        "clip": float(extra.get("gradient_clipping_value", 5.0)),
+        "seed": int(getattr(config, "seed", 42)),
+    }
+    kw.update(overrides)
+    return train_full_network(
+        spark,
+        train_tokens,
+        bundle,
+        eval_tokens=valid_tokens,
+        checkpoint_dir=checkpoint_dir,
+        **kw,
+    )

@@ -86,19 +86,28 @@ def fingerprint(text: Column) -> Column:
     return F.md5(norm)
 
 
-def hash64(col: Column, salt: int = 0) -> Column:
+def hash64(col: Column, salt: int = 0, fast: bool = False) -> Column:
     """Engine-portable 60-bit hash: first 15 hex chars of md5, parsed
     base-16. Used for shingle/simhash parity with DuckDB
-    (xxhash64 would be Spark-only)."""
+    (xxhash64 would be Spark-only).
+
+    ``fast=True`` is the PRODUCTION path: JVM ``xxhash64`` folded into
+    the same non-negative 60-bit domain — ~3x cheaper per scan, same
+    collision behavior, but values differ from the md5 family, so the
+    DuckDB oracles pin ``fast=False``."""
     salted = F.concat(F.lit(f"{salt}:"), col) if salt else col
+    if fast:
+        return F.pmod(F.xxhash64(salted), F.lit(1 << 60)).cast("long")
     return F.conv(F.substring(F.md5(salted), 1, 15), 16, 10).cast("long")
 
 
-def hash28(col: Column, salt: int = 0) -> Column:
+def hash28(col: Column, salt: int = 0, fast: bool = False) -> Column:
     """28-bit variant (first 7 hex chars) for universal-hash arithmetic
     (a*x+b mod p): keeps a*x within int64 under ANSI mode (Spark 4
-    default) and within DuckDB BIGINT."""
+    default) and within DuckDB BIGINT.  ``fast=True`` as in hash64."""
     salted = F.concat(F.lit(f"{salt}:"), col) if salt else col
+    if fast:
+        return F.pmod(F.xxhash64(salted), F.lit(1 << 28)).cast("long")
     return F.conv(F.substring(F.md5(salted), 1, 7), 16, 10).cast("long")
 
 

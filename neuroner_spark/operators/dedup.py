@@ -4,9 +4,11 @@ banding, SimHash (SURVEY.md extension set for training-data pipelines).
 Scale notes (the whole point of these shapes):
 - Exact dedup: one hash-groupBy on a 16-byte key — the cheapest
   possible shuffle; dominated by the parquet scan.
-- Shingle/MinHash/SimHash all use the engine-portable ``hash64``
-  (md5-prefix) so every stage has a DuckDB-oracle twin; on a pure
-  Spark deployment swap in ``xxhash64`` (one line) for ~3× scan speed.
+- Shingle/MinHash/SimHash default to the engine-portable ``hash64``
+  (md5-prefix) so every stage has a DuckDB-oracle twin; every operator
+  takes ``fast_hash=True`` for the pure-Spark production path
+  (``xxhash64``, ~3x cheaper per scan, identical pair/bucket behavior
+  — tested — but different hash values than the oracle family).
 - Near-dup candidate generation NEVER does an all-pairs join: pairs
   come from equi-joins on shingle / band / simhash keys, so the
   shuffle is proportional to (docs × shingles), not docs².
@@ -50,7 +52,7 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
-def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:
     """Distinct word-n-gram shingles per doc: (doc_id, shingle_hash).
 
     Built JVM-side: split -> transform over a positions sequence ->
@@ -59,7 +61,7 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     grams = _gram_array(text_col, n)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .select("doc_id", hash64(F.col("shingle")).alias("shingle_hash"))
+        .select("doc_id", hash64(F.col("shingle"), fast=fast_hash).alias("shingle_hash"))
         .distinct()
     )
 
@@ -76,12 +78,12 @@ def _gram_array(text_col: str, n: int):
     return F.when(count > 0, grams).otherwise(F.array().cast("array<string>"))
 
 
-def shingles28(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def shingles28(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:
     """Shingles hashed to 28 bits (for minhash universal-hash math)."""
     grams = _gram_array(text_col, n)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
-        .select("doc_id", hash28(F.col("shingle")).alias("shingle_hash"))
+        .select("doc_id", hash28(F.col("shingle"), fast=fast_hash).alias("shingle_hash"))
         .distinct()
     )
 
@@ -93,11 +95,12 @@ def ngram_jaccard_pairs(
     max_df: int = 1000,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fast_hash: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, candidates from a
     shingle equi-join. Output: (a, b, jaccard) with a < b.
     """
-    sh = shingles(docs, n, id_col, text_col).cache()
+    sh = shingles(docs, n, id_col, text_col, fast_hash).cache()
     df_counts = sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
     sh_f = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_hash", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -121,13 +124,13 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:
     """k=8 MinHash signature per doc: (doc_id, h0..h7).
 
     One groupBy computes all k mins (map-side partial agg does the
     heavy lifting — the shuffle carries k longs per doc).
     """
-    sh = shingles28(docs, n, id_col, text_col)
+    sh = shingles28(docs, n, id_col, text_col, fast_hash)
     aggs = [
         F.min((F.col("shingle_hash") * F.lit(a % PRIME_31) + F.lit(b)) % F.lit(PRIME_31)).alias(f"h{i}")
         for i, (a, b) in enumerate(MINHASH_PARAMS)
@@ -141,17 +144,18 @@ def minhash_band_pairs(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    fast_hash: bool = False,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: band the k=8 signature into
     ``bands`` bands of 2 rows, equi-join on (band_id, band_hash).
     Output: (a, b, n_bands_matched) with a < b."""
-    sig = minhash_signatures(docs, n, id_col, text_col)
+    sig = minhash_signatures(docs, n, id_col, text_col, fast_hash)
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_structs = []
     for bi in range(bands):
         cols = [F.col(f"h{bi * rows_per_band + r}") for r in range(rows_per_band)]
         band_structs.append(
-            F.struct(F.lit(bi).alias("band_id"), hash64(F.concat_ws("_", *[c.cast("string") for c in cols])).alias("band_hash"))
+            F.struct(F.lit(bi).alias("band_id"), hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), fast=fast_hash).alias("band_hash"))
         )
     banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bd")).select(
         "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
@@ -166,7 +170,7 @@ def minhash_band_pairs(
     )
 
 
-def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:
     """SimHash over whitespace tokens: per bit, sign of the sum of
     (2*bit-1) across token hashes. Output: (doc_id, simhash:long).
 
@@ -176,7 +180,7 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
-    ).select("doc_id", hash64(F.col("token")).alias("th"))
+    ).select("doc_id", hash64(F.col("token"), fast=fast_hash).alias("th"))
     bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
     per_bit = toks.select(
         "doc_id",
@@ -199,9 +203,9 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     )
 
 
-def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:
     """Near-dup buckets: docs sharing an identical simhash."""
-    sh = simhash(docs, bits, id_col, text_col)
+    sh = simhash(docs, bits, id_col, text_col, fast_hash)
     return (
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))

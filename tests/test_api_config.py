@@ -64,3 +64,37 @@ def test_iceberg_format_raises_actionable_error(spark, tmp_path, monkeypatch):
     monkeypatch.setenv("NEURONER_TABLE_FORMAT", "parquet")
     write_table(df, str(tmp_path / "t2"))
     assert read_table(spark, str(tmp_path / "t2")).count() == 3
+
+
+def test_fit_reads_ini_hyperparameters(spark, tmp_path):
+    """Entry point 1: fit() consumes the reference INI training keys
+    (maximum_number_of_epochs / learning_rate / patience / clip) and
+    returns a trained bundle with per-epoch history."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.api import fit
+    from neuroner_spark.config import load_parameters
+    from neuroner_spark.functions.tags import with_bioes
+    from neuroner_spark.model.weights import build_vocab, make_bundle
+    from neuroner_spark.plans.catalog_ner import pseudo_tokens
+
+    ini = tmp_path / "parameters.ini"
+    ini.write_text(
+        "[mode]\nlearning_rate = 0.5\nmaximum_number_of_epochs = 2\n"
+        "patience = 2\ngradient_clipping_value = 5.0\n"
+    )
+    cfg = load_parameters(str(ini))
+    toks = pseudo_tokens(spark, "/root/testdata/sf0.001")
+    relab = F.regexp_replace("gold", "-OP$", "-PER")
+    corpus = with_bioes(toks.withColumn("gold", relab), "gold", "label").select(
+        "doc_id", "sent_id", "pos", "token", "label"
+    ).limit(600)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    res = fit(spark, corpus, bundle, config=cfg, checkpoint_dir=str(tmp_path / "ck"))
+    assert len(res["history"]) == 2  # maximum_number_of_epochs from INI
+    assert not np.array_equal(res["bundle"]["arrays"]["ff_W"], bundle["arrays"]["ff_W"])
+    import os
+
+    assert os.path.isdir(str(tmp_path / "ck" / "epoch_0"))

@@ -114,3 +114,35 @@ def test_ivf_topk_recall_vs_exact(spark):
         ).collect()
     ]
     assert full == exact
+
+
+def test_fast_hash_path_equivalent_behavior(spark):
+    """fast_hash=True (xxhash64 production path) finds the SAME near-dup
+    pairs / buckets as the oracle-pinned md5 path — values differ, set
+    behavior does not (hashes only serve as set elements / sign bits)."""
+    import time
+
+    from neuroner_spark.operators.dedup import (
+        minhash_band_pairs,
+        ngram_jaccard_pairs,
+        simhash_buckets,
+    )
+
+    docs = _docs(spark)
+    slow_pairs = {(r["a"], r["b"], r["jaccard"]) for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    fast_pairs = {(r["a"], r["b"], r["jaccard"]) for r in ngram_jaccard_pairs(docs, threshold=0.5, fast_hash=True).collect()}
+    # Jaccard over shingle SETS: identical pairs AND identical values
+    assert slow_pairs == fast_pairs and len(fast_pairs) > 0
+
+    slow_band = {(r["a"], r["b"]) for r in minhash_band_pairs(docs).collect()}
+    fast_band = {(r["a"], r["b"]) for r in minhash_band_pairs(docs, fast_hash=True).collect()}
+    # banding is probabilistic per hash family: exact-dup pairs (all 8
+    # mins equal) must appear under BOTH families
+    exact_dups = {(a, b) for a, b, j in slow_pairs if j == 1.0}
+    assert exact_dups <= slow_band and exact_dups <= fast_band
+
+    # identical-text docs (0 and 1) share a simhash under ANY hash
+    # family; near-dup collisions at 16 bits are family-dependent
+    for fast in (False, True):
+        buckets = simhash_buckets(docs, fast_hash=fast).collect()
+        assert any(r["keep_id"] == 0 and r["n_docs"] >= 2 for r in buckets), (fast, buckets)
