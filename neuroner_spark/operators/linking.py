@@ -108,6 +108,11 @@ def link_mentions(mentions: DataFrame, alias_dict: DataFrame, use_fuzzy: bool = 
         fuzzy = fuzzy_candidates(mentions, alias_dict)
         if fuzzy is not None:
             cands = cands.unionByName(fuzzy.select(*cands.columns))
+    # ONE Exchange serves both windows below: hash-partitioning on
+    # doc_id satisfies the clustered distribution of BOTH window keys
+    # ((doc_id, entity_id) and (doc_id, sent_id, pos) — doc_id prefix),
+    # so Catalyst plans sort-only (no second shuffle) for each.
+    cands = cands.repartition("doc_id")
     # doc-coherence: per (doc, entity) count distinct mention surfaces.
     # As a window (not groupBy + join-back): the join-back shape would
     # re-execute the candidate subtree — tagger included — twice.

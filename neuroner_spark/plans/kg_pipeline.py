@@ -131,14 +131,47 @@ def sameas_edges_from_aliases(alias_dict: DataFrame) -> DataFrame:
     )
 
 
-def canonical_map(alias_dict: DataFrame) -> DataFrame:
-    """entity_id -> canonical_id via connected components over same-as."""
+def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> DataFrame:
+    """entity_id -> canonical_id (= min entity id in the same-as
+    component).
+
+    The alias dictionary is the broadcast-SMALL side by contract, so
+    the default path is a driver union-find over the collected edge
+    list: the iterative large-star/small-star loop costs several Spark
+    jobs of scheduler latency per round — measured ~2.7 s for an
+    11-row result at sf0.1 — for an O(|aliases|) problem.  Graphs
+    above ``small_threshold`` edges fall back to the distributed
+    ``connected_components`` (same min-id semantics, oracle-checked)."""
     edges = sameas_edges_from_aliases(alias_dict)
-    comp = connected_components(edges).select(
-        F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
-    )
+    spark = alias_dict.sparkSession
+    rows = edges.limit(small_threshold + 1).collect()
+    if len(rows) <= small_threshold:
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for r in rows:
+            a, b = find(int(r["src"])), find(int(r["dst"]))
+            if a != b:
+                parent[max(a, b)] = min(a, b)
+        comp_min: dict[int, int] = {}
+        for node in list(parent):
+            root = find(node)
+            comp_min[root] = min(comp_min.get(root, node), node)
+        mapping = [(node, comp_min[find(node)]) for node in parent]
+        comp = spark.createDataFrame(
+            mapping or [(None, None)], "entity_id long, canonical_id long"
+        ).filter(F.col("entity_id").isNotNull())
+    else:  # pragma: no cover - exercised via connected_components oracle
+        comp = connected_components(edges).select(
+            F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
+        )
     all_ents = alias_dict.select("entity_id").distinct()
-    return all_ents.join(comp, "entity_id", "left").select(
+    return all_ents.join(F.broadcast(comp), "entity_id", "left").select(
         "entity_id", F.coalesce("canonical_id", F.col("entity_id")).alias("canonical_id")
     )
 
