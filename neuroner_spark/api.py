@@ -89,6 +89,8 @@ def fit(
         "lr": float(extra.get("learning_rate", 0.005)),
         "patience": int(extra.get("patience", 10)),
         "clip": float(extra.get("gradient_clipping_value", 5.0)),
+        "optimizer": str(extra.get("optimizer", "sgd")),
+        "dropout": float(extra.get("dropout_rate", 0.0)),
         "seed": int(getattr(config, "seed", 42)),
     }
     kw.update(overrides)

@@ -199,9 +199,15 @@ def _lstm_backward(d_hseq, x, lengths, W, U, cache, hidden, reverse=False):
     return dx, dW, dU, db
 
 
-def forward_features_cache(token_ids, char_feat, lengths, arrays):
+def forward_features_cache(token_ids, char_feat, lengths, arrays, dropout_mask=None):
     """``forward_features`` with the activations kept for backprop.
-    Returns (ff [B,T,FF_DIM], cache)."""
+    Returns (ff [B,T,FF_DIM], cache).
+
+    ``dropout_mask`` (optional, [B,T,2H], inverted-dropout scaled):
+    applied to the Bi-LSTM output before the FF layer — the reference's
+    ``dropout_rate`` site (`entity_lstm.py` applies dropout to the
+    token-LSTM output).  Train-only; inference never passes one.
+    """
     tok_emb = arrays["token_emb"][token_ids]
     x = np.concatenate([tok_emb, char_feat], axis=2)
     fw_seq, fw_cache = _lstm_cache(
@@ -211,15 +217,18 @@ def forward_features_cache(token_ids, char_feat, lengths, arrays):
         x, lengths, arrays["token_lstm_bw_W"], arrays["token_lstm_bw_U"], arrays["token_lstm_bw_b"], arrays["token_lstm_bw_U"].shape[0], reverse=True
     )
     h = np.concatenate([fw_seq, bw_seq], axis=2)
+    if dropout_mask is not None:
+        h = h * dropout_mask.astype(h.dtype)
     ff = np.tanh(h @ arrays["ff_W"] + arrays["ff_b"])
     cache = {
         "x": x,
-        "h": h,
+        "h": h,  # post-dropout when a mask is given (d_ff_W uses this)
         "ff": ff,
         "fw": fw_cache,
         "bw": bw_cache,
         "lengths": lengths,
         "token_ids": token_ids,
+        "dropout_mask": dropout_mask,
     }
     return ff, cache
 
@@ -236,6 +245,8 @@ def backward_features(d_ff, cache, arrays):
     d_ff_W = h.reshape(B * T, H2).astype(np.float64).T @ d_pre.reshape(B * T, FF).astype(np.float64)
     d_ff_b = d_pre.reshape(B * T, FF).sum(axis=0).astype(np.float64)
     d_h = d_pre @ arrays["ff_W"].T
+    if cache.get("dropout_mask") is not None:
+        d_h = d_h * cache["dropout_mask"].astype(d_h.dtype)
     dx_f, dWf, dUf, dbf = _lstm_backward(
         d_h[:, :, :hidden], x, lengths, arrays["token_lstm_fw_W"], arrays["token_lstm_fw_U"], cache["fw"], hidden
     )

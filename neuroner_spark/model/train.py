@@ -40,7 +40,13 @@ from neuroner_spark.model.bilstm_crf import (
     forward_features_cache,
 )
 from neuroner_spark.model.tagger import SUB_BATCH, _encode_flat
-from neuroner_spark.model.weights import LABELS, N_CLASSES, TOKEN_DIM, save_bundle
+from neuroner_spark.model.weights import (
+    LABELS,
+    N_CLASSES,
+    TOKEN_DIM,
+    TOKEN_HIDDEN,
+    save_bundle,
+)
 
 GRAD_SCHEMA = T.StructType(
     [
@@ -146,6 +152,8 @@ def _make_full_grad_fn(
     label_to_idx: dict[str, int],
     train_embeddings: bool,
     loss: str = "softmax",
+    dropout: float = 0.0,
+    dropout_seed: int = 0,
 ):
     """mapInPandas gradient worker for the FULL network, backprop
     through FF + token Bi-LSTM via ``backward_features`` (embedding
@@ -198,7 +206,17 @@ def _make_full_grad_fn(
                     dtype=np.int64,
                 )
                 token_ids, char_feat, row_idx, col_idx = _encode_flat(flat_tokens, lengths, vmap, arrays)
-                ff, cache = forward_features_cache(token_ids, char_feat, lengths, arrays)
+                mask = None
+                if dropout > 0.0:
+                    # deterministic inverted-dropout mask per sub-batch:
+                    # keyed by (epoch seed, batch offset, shape) so a
+                    # re-run of the same epoch reproduces the gradient
+                    B_, T_ = token_ids.shape
+                    rng = np.random.default_rng([dropout_seed, s0, B_, T_])
+                    mask = (rng.random((B_, T_, 2 * TOKEN_HIDDEN)) >= dropout) / (1.0 - dropout)
+                ff, cache = forward_features_cache(
+                    token_ids, char_feat, lengths, arrays, dropout_mask=mask
+                )
                 n = len(labels_flat)
                 n_tok += n
                 if loss == "crf":
@@ -262,6 +280,8 @@ def train_full_network(
     train_embeddings: bool = False,
     loss: str = "softmax",
     eval_tokens: DataFrame | None = None,
+    optimizer: str = "sgd",
+    dropout: float = 0.0,
 ) -> dict:
     """Reference ``src/neuroner.py :: fit`` parity: train the WHOLE
     network (token Bi-LSTM + FF + output head, optionally token
@@ -278,6 +298,12 @@ def train_full_network(
     and the hashed-vocab bundle caps it at vocab_size rows at web
     scale (a sparse/parameter-server aggregation is the 100x upgrade
     path, same loop shape).
+
+    ``optimizer``: 'sgd' (momentum SGD, the reference default) or
+    'adam' (reference INI ``optimizer=adam``; driver-side moment
+    vectors, bias-corrected).  ``dropout``: the reference
+    ``dropout_rate`` — deterministic inverted-dropout on the Bi-LSTM
+    output during gradient computation only (inference never drops).
 
     ``eval_tokens`` (optional, (doc_id, sent_id, pos, token, label)):
     the VALIDATION split.  When given, each epoch ends with a tagger
@@ -298,6 +324,8 @@ def train_full_network(
     sizes = [int(np.prod(cur["arrays"][n].shape)) for n in names]
     total = sum(sizes)
     vel = np.zeros(total, dtype=np.float64)
+    adam_m = np.zeros(total, dtype=np.float64)
+    adam_v = np.zeros(total, dtype=np.float64)
     for epoch in range(epochs):
         shuffled = sentences.repartition(
             spark.sparkContext.defaultParallelism,
@@ -305,7 +333,15 @@ def train_full_network(
         )
         bc = spark.sparkContext.broadcast(cur)
         rows = shuffled.mapInPandas(
-            _make_full_grad_fn(bc, label_to_idx, train_embeddings, loss), GRAD_SCHEMA
+            _make_full_grad_fn(
+                bc,
+                label_to_idx,
+                train_embeddings,
+                loss,
+                dropout=dropout,
+                dropout_seed=seed * 100003 + epoch,
+            ),
+            GRAD_SCHEMA,
         ).collect()
         bc.destroy()
         grad = np.zeros(total, dtype=np.float64)
@@ -318,11 +354,19 @@ def train_full_network(
         gnorm = float(np.linalg.norm(grad))
         if clip and gnorm > clip:
             grad *= clip / gnorm
-        vel = momentum * vel + grad
+        if optimizer == "adam":
+            b1, b2, eps_ = 0.9, 0.999, 1e-8
+            adam_m = b1 * adam_m + (1 - b1) * grad
+            adam_v = b2 * adam_v + (1 - b2) * grad * grad
+            t = epoch + 1
+            step = (adam_m / (1 - b1**t)) / (np.sqrt(adam_v / (1 - b2**t)) + eps_)
+        else:
+            vel = momentum * vel + grad
+            step = vel
         new_arrays = dict(cur["arrays"])
         off = 0
         for n, sz in zip(names, sizes):
-            g = vel[off : off + sz].reshape(cur["arrays"][n].shape).astype(np.float32)
+            g = step[off : off + sz].reshape(cur["arrays"][n].shape).astype(np.float32)
             new_arrays[n] = cur["arrays"][n] - lr * g
             off += sz
         cur = dict(cur, arrays=new_arrays)

@@ -62,6 +62,8 @@ def run_streaming_pipeline(
     out_dir: str,
     checkpoint_dir: str,
     alias_dict: DataFrame,
+    mention_source: str = "gazetteer",
+    bundle: dict | None = None,
 ) -> None:
     """foreachBatch KG pipeline: each micro-batch of pages runs the
     batch stages (normalize -> tokenize -> match -> link -> triples)
@@ -76,10 +78,13 @@ def run_streaming_pipeline(
     from neuroner_spark.operators.linking import link_mentions
     from neuroner_spark.plans.kg_pipeline import (
         canonical_map,
+        neural_mentions,
         normalize_pages,
         triples_from_linked,
     )
 
+    if mention_source == "neural" and bundle is None:
+        raise ValueError("mention_source='neural' requires a weight bundle")
     canon = canonical_map(alias_dict)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
@@ -87,7 +92,10 @@ def run_streaming_pipeline(
             return
         norm = normalize_pages(batch_df)
         tokens = tokenize(norm)
-        mentions = match_mentions(tokens, alias_dict)
+        if mention_source == "neural":
+            mentions = neural_mentions(spark, tokens, bundle)
+        else:
+            mentions = match_mentions(tokens, alias_dict)
         linked = link_mentions(mentions, alias_dict, use_fuzzy=False)
         meta = norm.select(F.col("doc_id").alias("url"), "warc_ts")
         triples = triples_from_linked(linked, canon, meta)

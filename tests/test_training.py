@@ -125,6 +125,26 @@ def test_bptt_gradient_check():
             num = (loss({**arrays64, name: up}) - loss({**arrays64, name: dn})) / (2 * eps)
             assert abs(num - g[ij]) <= 1e-5 * max(1.0, abs(num)), (name, ij, num, g[ij])
 
+    # dropout path: gradients exact under a FIXED inverted-dropout mask
+    dmask = (rng.random((B, T, 200)) >= 0.5) / 0.5
+
+    def loss_d(arr):
+        ff_, _ = forward_features_cache(token_ids, char_feat, lengths, arr, dropout_mask=dmask)
+        return float((ff_ * R).sum())
+
+    _, cache_d = forward_features_cache(token_ids, char_feat, lengths, arrays64, dropout_mask=dmask)
+    grads_d, _ = backward_features(R, cache_d, arrays64)
+    for name in ("ff_W", "token_lstm_fw_U", "token_lstm_bw_W"):
+        g = grads_d[name]
+        for fi in rng.choice(g.size, size=4, replace=False):
+            ij = np.unravel_index(fi, g.shape)
+            up = arrays64[name].copy()
+            up[ij] += eps
+            dn = arrays64[name].copy()
+            dn[ij] -= eps
+            num = (loss_d({**arrays64, name: up}) - loss_d({**arrays64, name: dn})) / (2 * eps)
+            assert abs(num - g[ij]) <= 1e-5 * max(1.0, abs(num)), ("dropout", name, ij)
+
 
 def _corpus_in_domain(spark):
     """Pseudo corpus with entity types remapped INTO the model's label
@@ -293,3 +313,20 @@ def test_full_network_valid_f1_early_stopping(spark):
     f1s = [h["valid_f1"] for h in res["history"]]
     assert res["best_epoch"] == f1s.index(max(f1s))
     assert abs(evaluate_f1(spark, valid, res["bundle"]) - max(f1s)) < 1e-9
+
+
+def test_full_network_adam_and_dropout(spark):
+    """Reference INI parity: optimizer=adam + dropout_rate train the
+    full network; loss decreases and the run is deterministic (the
+    dropout masks are seeded per epoch/sub-batch)."""
+    from neuroner_spark.model.train import train_full_network
+
+    corpus = _corpus_in_domain(spark).limit(2000)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    kw = dict(epochs=4, lr=0.02, patience=4, optimizer="adam", dropout=0.3)
+    res1 = train_full_network(spark, corpus, bundle, **kw)
+    losses = [h["loss"] for h in res1["history"]]
+    assert losses[-1] < losses[0], losses
+    res2 = train_full_network(spark, corpus, bundle, **kw)
+    assert [h["loss"] for h in res2["history"]] == losses  # deterministic
