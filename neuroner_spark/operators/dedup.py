@@ -211,3 +211,53 @@ def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", tex
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
     )
+
+
+def duplicated_spans(
+    docs: DataFrame,
+    n_sents: int = 3,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """C4-style duplicated-span detection (Raffel et al. 2020 §2.2
+    dropped any three-sentence span occurring more than once in the
+    corpus): per doc, how many of its sliding ``n_sents``-sentence
+    spans also occur in OTHER docs.
+
+    Output: (doc_id, n_spans, n_dup_spans, dup_span_frac).  Plan: one
+    explode, one doc-distinct, one df-count groupBy, one semi-join —
+    shuffle keys are span hashes, never doc pairs (linear, not
+    quadratic, like the shingle path above).
+    """
+    sents = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    count = F.size(sents) - F.lit(n_sents - 1)
+    spans = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(0), count - 1),
+            lambda i: F.array_join(F.slice(sents, i + 1, n_sents), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    per_doc = (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span"))
+        .select("doc_id", hash64(F.lower(F.col("span")), fast=fast_hash).alias("span_hash"))
+        .distinct()
+    )
+    df_counts = per_doc.groupBy("span_hash").agg(F.count("*").alias("df"))
+    dup = per_doc.join(
+        df_counts.filter(F.col("df") >= min_df), "span_hash", "left_semi"
+    ).groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
+    totals = per_doc.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    return (
+        totals.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.round(F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6).alias(
+                "dup_span_frac"
+            ),
+        )
+    )

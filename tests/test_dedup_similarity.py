@@ -146,3 +146,23 @@ def test_fast_hash_path_equivalent_behavior(spark):
     for fast in (False, True):
         buckets = simhash_buckets(docs, fast_hash=fast).collect()
         assert any(r["keep_id"] == 0 and r["n_docs"] >= 2 for r in buckets), (fast, buckets)
+
+
+def test_duplicated_spans_c4_style(spark):
+    """C4 span dedup: a 3-sentence span shared by two docs is flagged
+    in both; unique docs report zero duplicated spans."""
+    from neuroner_spark.operators.dedup import duplicated_spans
+
+    shared = "Alpha one. Beta two. Gamma three."
+    rows = [
+        (0, shared + " Unique tail zero. More zero. End zero."),
+        (1, "Lead one in. " + shared + " Other tail one."),
+        (2, "Totally different. Nothing shared here. At all. Truly."),
+        (3, "Short doc."),  # < 3 sentences -> zero spans
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in duplicated_spans(docs).collect()}
+    assert out[0]["n_dup_spans"] >= 1 and out[1]["n_dup_spans"] >= 1
+    assert out[2]["n_dup_spans"] == 0 and out[2]["n_spans"] > 0
+    assert 3 not in out  # no spans at all -> no row
+    assert 0 < out[0]["dup_span_frac"] <= 1.0

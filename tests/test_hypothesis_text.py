@@ -60,3 +60,35 @@ def test_python_normalization_reference_is_length_preserving(text):
     # P2's contract mirrored in python: every unicode ws -> one space
     normalized = re.sub(r"\s", " ", text)
     assert len(normalized) == len(text)
+
+
+def test_url_canonicalization(spark):
+    """Canonical url collapses tracking/fragment variants; host/domain/
+    path decomposition is pure column expressions."""
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.functions.urls import canonical_url, url_domain, url_host, url_path
+
+    rows = [
+        ("https://WWW.Example.com/a/b/?utm_source=x&utm_medium=y#frag",),
+        ("https://example.com/a/b/",),
+        ("https://example.com/a/b?gclid=123",),
+        ("http://news.example.co/path/page?id=7&fbclid=zz",),
+        ("https://example.com/",),
+    ]
+    df = spark.createDataFrame(rows, "url string").select(
+        "url",
+        canonical_url(F.col("url")).alias("canon"),
+        url_host(F.col("url")).alias("host"),
+        url_domain(F.col("url")).alias("domain"),
+        url_path(F.col("url")).alias("path"),
+    )
+    got = {r["url"]: r for r in df.collect()}
+    # the three variants of /a/b collapse to ONE canonical form
+    canons = {got[r[0]]["canon"] for r in rows[:3]}
+    assert canons == {"https://example.com/a/b"}, canons
+    assert got[rows[0][0]]["host"] == "example.com"
+    assert got[rows[3][0]]["host"] == "news.example.co"
+    assert got[rows[3][0]]["domain"] == "example.co"
+    assert got[rows[3][0]]["path"] == "/path/page"
+    assert got[rows[4][0]]["path"] == "/"
