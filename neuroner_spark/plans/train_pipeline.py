@@ -1,0 +1,85 @@
+"""Training-run lifecycle (reference entry point 1, end to end).
+
+Reference parity: ``src/neuroner.py :: fit`` writes an output tree per
+run — per-epoch checkpoints, per-split prediction files
+(``src/train.py :: prediction_step`` K1 writer), and ``results.json``
+(``src/evaluate.py :: save_results`` K3 sink).  This module produces
+the same tree from the distributed trainer:
+
+    <out_dir>/
+      checkpoints/epoch_<n>/   weights.npz + vocab/labels/meta json (K4)
+      predictions/valid/       tagged valid split, parquet (K1 canonical)
+      predictions/valid_conll/ CoNLL text render of the same (K1 golden)
+      metrics/                 conlleval F1 table, parquet (K3)
+      results.json             history + best epoch + final F1s (K3)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_training_run(
+    spark: SparkSession,
+    train_tokens: DataFrame,
+    valid_tokens: DataFrame,
+    bundle: dict,
+    out_dir: str,
+    config=None,
+    **fit_overrides,
+) -> dict:
+    """Train + evaluate + materialize the run tree.  Returns
+    {'bundle', 'history', 'best_epoch', 'valid_f1', 'out_dir'}."""
+    from neuroner_spark.api import fit
+    from neuroner_spark.model.tagger import tag_tokens
+    from neuroner_spark.operators.metrics import conlleval_f1
+    from neuroner_spark.sources.conll import write_conll
+
+    os.makedirs(out_dir, exist_ok=True)
+    res = fit(
+        spark,
+        train_tokens,
+        bundle,
+        valid_tokens=valid_tokens,
+        config=config,
+        checkpoint_dir=os.path.join(out_dir, "checkpoints"),
+        **fit_overrides,
+    )
+    best = res["bundle"]
+
+    # K1: tag the valid split with the best model and materialize both
+    # the canonical parquet and the conlleval-compatible text render
+    with_offsets = valid_tokens.withColumn("start", F.col("pos").cast("long")).withColumn(
+        "end", (F.col("pos") + 1).cast("long")
+    )
+    tagged = tag_tokens(spark, with_offsets, best).withColumnRenamed("label", "pred")
+    joined = tagged.join(
+        valid_tokens.select("doc_id", "sent_id", "pos", F.col("label").alias("gold")),
+        ["doc_id", "sent_id", "pos"],
+    )
+    pred_dir = os.path.join(out_dir, "predictions", "valid")
+    joined.write.mode("overwrite").parquet(pred_dir)
+    preds = spark.read.parquet(pred_dir)
+    write_conll(
+        preds.select("doc_id", "sent_id", "pos", "token", F.col("gold").alias("label"), "pred"),
+        os.path.join(out_dir, "predictions", "valid_conll"),
+        label_cols=("label", "pred"),
+    )
+
+    # K3: metrics table + results.json
+    f1_df = conlleval_f1(preds, "gold", "pred")
+    f1_df.write.mode("overwrite").parquet(os.path.join(out_dir, "metrics"))
+    f1_rows = {r["type"]: r.asDict() for r in f1_df.collect()}
+    results = {
+        "history": res["history"],
+        "best_epoch": res["best_epoch"],
+        "valid_f1": f1_rows.get("ALL", {}).get("f1", 0.0),
+        "per_type": {t: {k: r[k] for k in ("tp", "fp", "fn", "precision", "recall", "f1")} for t, r in f1_rows.items()},
+    }
+    with open(os.path.join(out_dir, "results.json"), "w") as f:
+        json.dump(results, f, indent=1)
+    return dict(res, valid_f1=results["valid_f1"], out_dir=out_dir)

@@ -330,3 +330,36 @@ def test_full_network_adam_and_dropout(spark):
     assert losses[-1] < losses[0], losses
     res2 = train_full_network(spark, corpus, bundle, **kw)
     assert [h["loss"] for h in res2["history"]] == losses  # deterministic
+
+
+def test_training_run_output_tree(spark, tmp_path):
+    """Reference run-folder parity: fit -> checkpoints + predictions
+    (parquet AND CoNLL text) + metrics table + results.json."""
+    import json
+
+    from neuroner_spark.plans.train_pipeline import run_training_run
+
+    corpus = _corpus_in_domain(spark)
+    train = corpus.filter((F.col("doc_id").cast("long") % 2) == 0)
+    valid = corpus.filter((F.col("doc_id").cast("long") % 2) == 1)
+    vocab = build_vocab([r["token"] for r in train.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    out = str(tmp_path / "run")
+    res = run_training_run(
+        spark, train, valid, bundle, out, epochs=2, lr=0.5, patience=2
+    )
+    assert os.path.isdir(os.path.join(out, "checkpoints", "epoch_0"))
+    preds = spark.read.parquet(os.path.join(out, "predictions", "valid"))
+    assert {"token", "gold", "pred"} <= set(preds.columns)
+    assert preds.count() == valid.count()
+    metrics = spark.read.parquet(os.path.join(out, "metrics"))
+    assert "f1" in metrics.columns
+    with open(os.path.join(out, "results.json")) as f:
+        results = json.load(f)
+    assert len(results["history"]) == 2 and "valid_f1" in results
+    assert res["valid_f1"] == results["valid_f1"]
+    # K1 text render exists and has content
+    from neuroner_spark.sources.conll import read_conll
+
+    back = read_conll(spark, os.path.join(out, "predictions", "valid_conll"))
+    assert back.count() == valid.count()
