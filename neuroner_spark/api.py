@@ -93,6 +93,10 @@ def fit(
         "dropout": float(extra.get("dropout_rate", 0.0)),
         "seed": int(getattr(config, "seed", 42)),
     }
+    if config is not None:
+        # reference `use_crf` selects the training objective: CRF
+        # log-likelihood (its default True) vs per-token softmax
+        kw["loss"] = "crf" if getattr(config, "use_crf", True) else "softmax"
     kw.update(overrides)
     return train_full_network(
         spark,

@@ -153,14 +153,17 @@ def repetition_metrics(docs, id_col: str = "doc_id", text_col: str = "text"):
     )
     top_word = F.col("max_word") / F.col("n_words")
     top_bigram = F.col("max_bigram") / F.col("n_bigrams")
+    # LEFT join: single-word docs have no bigrams but must still get a
+    # row (a quality gate that silently drops docs from its own output
+    # passes/blocks them unexamined); bigram columns stay null there
     return (
-        wstat.join(bstat, "doc_id")
+        wstat.join(bstat, "doc_id", "left")
         .select(
             "doc_id",
             "n_words",
             F.round(1.0 - F.col("n_distinct") / F.col("n_words"), 6).alias("dup_word_frac"),
             F.round(top_word, 6).alias("top_word_frac"),
             F.round(top_bigram, 6).alias("top_bigram_frac"),
-            ((top_word > 0.2) | (top_bigram > 0.18)).alias("flagged"),
+            ((top_word > 0.2) | (F.coalesce(top_bigram, F.lit(0.0)) > 0.18)).alias("flagged"),
         )
     )

@@ -18,7 +18,9 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
-_TRACKING = r"(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
+# anchored to a parameter boundary: 'href=...' or '/ref=...' path
+# segments must NOT match (unanchored, they would corrupt the key)
+_TRACKING = r"(?<=[?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
 
 
 def url_host(url: Column) -> Column:
@@ -42,11 +44,13 @@ def url_path(url: Column) -> Column:
 def canonical_url(url: Column) -> Column:
     """Tracking-param/fragment-insensitive canonical form (dedup key)."""
     no_frag = F.regexp_replace(url, r"#.*$", "")
-    # drop tracking params, then tidy dangling separators
+    # drop tracking params, then tidy dangling separators — collapse
+    # runs of '&' BEFORE fixing '?&' (two stripped leading params leave
+    # '?&&x' which must become '?x', not '?&x'), then trailing '?'/'&'
     no_track = F.regexp_replace(no_frag, _TRACKING, "")
-    tidy = F.regexp_replace(no_track, r"[?&]+$", "")
+    tidy = F.regexp_replace(no_track, r"&&+", "&")
     tidy = F.regexp_replace(tidy, r"\?&", "?")
-    tidy = F.regexp_replace(tidy, r"&&+", "&")
+    tidy = F.regexp_replace(tidy, r"[?&]+$", "")
     scheme = F.lower(F.regexp_extract(tidy, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1))
     rest = F.regexp_replace(tidy, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     host_part = F.regexp_extract(rest, r"^([^/?#]+)", 1)

@@ -375,7 +375,9 @@ def train_full_network(
         epoch_loss = loss_sum / max(n_tok, 1)
         entry = {"epoch": epoch, "loss": round(epoch_loss, 6), "n_tokens": n_tok, "grad_norm": round(gnorm, 6)}
         if eval_tokens is not None:
-            entry["valid_f1"] = round(evaluate_f1(spark, eval_tokens, cur), 6)
+            entry["valid_f1"] = round(
+                evaluate_f1(spark, eval_tokens, cur, use_crf=(loss == "crf")), 6
+            )
         history.append(entry)
         if checkpoint_dir:
             save_bundle(cur, os.path.join(checkpoint_dir, f"epoch_{epoch}"))
@@ -395,7 +397,12 @@ def train_full_network(
                 break
     sentences.unpersist()
     out_bundle = best_bundle if (eval_tokens is not None and best_bundle is not None) else cur
-    return {"bundle": out_bundle, "history": history, "best_epoch": best_epoch}
+    return {
+        "bundle": out_bundle,
+        "history": history,
+        "best_epoch": best_epoch,
+        "loss_mode": loss,
+    }
 
 
 TRANS_GRAD_SCHEMA = T.StructType(
@@ -527,23 +534,41 @@ def train_crf_transitions(
     return {"bundle": cur, "history": history}
 
 
-def evaluate_f1(spark: SparkSession, tokens: DataFrame, bundle: dict) -> float:
-    """Reference per-epoch evaluation: tag ``tokens(doc_id, sent_id,
-    pos, token, label)`` with the current bundle (Viterbi decode) and
-    return the overall conlleval phrase F1 against the gold ``label``
-    column.  One tagger pass + the A5 span-join metric — the same
-    pipeline QA instrument, reused as the training stop criterion."""
+def tag_and_join_gold(
+    spark: SparkSession, tokens: DataFrame, bundle: dict, use_crf: bool = True
+) -> DataFrame:
+    """tokens(doc_id, sent_id, pos, token, label) -> (…, pred, gold):
+    tag with the bundle and join the gold labels back.  ONE
+    implementation shared by per-epoch evaluation and the run
+    materializer so the decode-mode contract can never diverge."""
     from neuroner_spark.model.tagger import tag_tokens
-    from neuroner_spark.operators.metrics import conlleval_f1
 
     with_offsets = tokens.withColumn("start", F.col("pos").cast("long")).withColumn(
         "end", (F.col("pos") + 1).cast("long")
     )
-    tagged = tag_tokens(spark, with_offsets, bundle).withColumnRenamed("label", "pred")
-    joined = tagged.join(
+    tagged = tag_tokens(spark, with_offsets, bundle, use_crf=use_crf).withColumnRenamed(
+        "label", "pred"
+    )
+    return tagged.join(
         tokens.select("doc_id", "sent_id", "pos", F.col("label").alias("gold")),
         ["doc_id", "sent_id", "pos"],
     )
+
+
+def evaluate_f1(
+    spark: SparkSession, tokens: DataFrame, bundle: dict, use_crf: bool = True
+) -> float:
+    """Reference per-epoch evaluation: tag ``tokens(doc_id, sent_id,
+    pos, token, label)`` with the current bundle and return the overall
+    conlleval phrase F1 against the gold ``label`` column.  One tagger
+    pass + the A5 span-join metric — the same pipeline QA instrument,
+    reused as the training stop criterion.  ``use_crf`` must match the
+    training objective: a softmax-trained model never updates the
+    transition matrix, so Viterbi over those random transitions would
+    score (and early-stop on) noise — decode per-token argmax there."""
+    from neuroner_spark.operators.metrics import conlleval_f1
+
+    joined = tag_and_join_gold(spark, tokens, bundle, use_crf=use_crf)
     rows = conlleval_f1(joined, "gold", "pred").filter(F.col("type") == "ALL").collect()
     return float(rows[0]["f1"]) if rows else 0.0
 

@@ -367,8 +367,8 @@ SELECT w.doc_id, n_words,
        round(CAST(max_word AS DOUBLE) / n_words, 6) AS top_word_frac,
        round(CAST(max_bigram AS DOUBLE) / n_bigrams, 6) AS top_bigram_frac,
        (CAST(max_word AS DOUBLE) / n_words > 0.2
-        OR CAST(max_bigram AS DOUBLE) / n_bigrams > 0.18) AS flagged
-FROM wstat w JOIN bstat b ON w.doc_id = b.doc_id
+        OR coalesce(CAST(max_bigram AS DOUBLE) / n_bigrams, 0.0) > 0.18) AS flagged
+FROM wstat w LEFT JOIN bstat b ON w.doc_id = b.doc_id
 """
 
 QUERIES["gopher_repetition"] = (q_gopher_repetition, SQL_GOPHER_REPETITION)

@@ -166,12 +166,15 @@ def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> Data
         comp = spark.createDataFrame(
             mapping or [(None, None)], "entity_id long, canonical_id long"
         ).filter(F.col("entity_id").isNotNull())
+        comp = F.broadcast(comp)  # bounded by small_threshold — safe to ship
     else:  # pragma: no cover - exercised via connected_components oracle
+        # NO broadcast hint here: the distributed fallback exists for
+        # component maps too big for the driver/executor memory
         comp = connected_components(edges).select(
             F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
         )
     all_ents = alias_dict.select("entity_id").distinct()
-    return all_ents.join(F.broadcast(comp), "entity_id", "left").select(
+    return all_ents.join(comp, "entity_id", "left").select(
         "entity_id", F.coalesce("canonical_id", F.col("entity_id")).alias("canonical_id")
     )
 

@@ -35,7 +35,7 @@ def run_training_run(
     """Train + evaluate + materialize the run tree.  Returns
     {'bundle', 'history', 'best_epoch', 'valid_f1', 'out_dir'}."""
     from neuroner_spark.api import fit
-    from neuroner_spark.model.tagger import tag_tokens
+    from neuroner_spark.model.train import tag_and_join_gold
     from neuroner_spark.operators.metrics import conlleval_f1
     from neuroner_spark.sources.conll import write_conll
 
@@ -52,14 +52,11 @@ def run_training_run(
     best = res["bundle"]
 
     # K1: tag the valid split with the best model and materialize both
-    # the canonical parquet and the conlleval-compatible text render
-    with_offsets = valid_tokens.withColumn("start", F.col("pos").cast("long")).withColumn(
-        "end", (F.col("pos") + 1).cast("long")
-    )
-    tagged = tag_tokens(spark, with_offsets, best).withColumnRenamed("label", "pred")
-    joined = tagged.join(
-        valid_tokens.select("doc_id", "sent_id", "pos", F.col("label").alias("gold")),
-        ["doc_id", "sent_id", "pos"],
+    # the canonical parquet and the conlleval-compatible text render.
+    # Decode mode matches the trained objective (same contract as the
+    # per-epoch early-stopping evaluation — shared helper).
+    joined = tag_and_join_gold(
+        spark, valid_tokens, best, use_crf=(res.get("loss_mode") == "crf")
     )
     pred_dir = os.path.join(out_dir, "predictions", "valid")
     joined.write.mode("overwrite").parquet(pred_dir)

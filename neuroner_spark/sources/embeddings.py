@@ -46,14 +46,22 @@ def vocab_embedding_matrix(
         probe_keys.add(re.sub(r"\d", "0", tok.lower()))
     spark = emb_df.sparkSession
     keys_df = spark.createDataFrame([(k,) for k in probe_keys], "token string")
-    pruned = emb_df.join(F.broadcast(keys_df), "token", "left_semi")
+    # dropDuplicates: real GloVe files contain duplicate token lines —
+    # keep one row per token so the O(vocab) bound below is exact
+    pruned = emb_df.join(F.broadcast(keys_df), "token", "left_semi").dropDuplicates(["token"])
     collected = pruned.collect()
     # the semi join caps the collect at the 3 probe variants per token
     assert len(collected) <= 3 * len(vocab), (len(collected), len(vocab))
     if stats is not None:
         stats["n_collected"] = len(collected)
     rows = {r["token"]: r["vector"] for r in collected}
-    dim = len(next(iter(rows.values()))) if rows else 100
+    if rows:
+        dim = len(next(iter(rows.values())))
+    else:
+        # all-OOV vocab: take the real width from the table itself, not
+        # a silent 100-dim fallback (wrong-width matrix downstream)
+        first = emb_df.select(F.size("vector").alias("d")).limit(1).collect()
+        dim = int(first[0]["d"]) if first else 100
     mat = np.zeros((len(vocab) + 1, dim), dtype=np.float32)
     for tok, idx in vocab.items():
         vec = rows.get(tok) or rows.get(tok.lower()) or rows.get(re.sub(r"\d", "0", tok.lower()))

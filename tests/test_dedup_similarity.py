@@ -166,3 +166,17 @@ def test_duplicated_spans_c4_style(spark):
     assert out[2]["n_dup_spans"] == 0 and out[2]["n_spans"] > 0
     assert 3 not in out  # no spans at all -> no row
     assert 0 < out[0]["dup_span_frac"] <= 1.0
+
+
+def test_repetition_metrics_keeps_tiny_docs(spark):
+    """Quality gates must not silently drop docs: a one-word doc gets a
+    row with null bigram fraction and flagged computed from words only."""
+    from neuroner_spark.functions.text_analysis import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [(0, "single"), (1, "two words here now ok")], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert set(out) == {"0", "1"}  # operator casts doc_id to string
+    assert out["0"]["top_bigram_frac"] is None
+    assert out["0"]["flagged"] is True  # one word = 100% top-word fraction

@@ -87,6 +87,22 @@ def test_url_canonicalization(spark):
     # the three variants of /a/b collapse to ONE canonical form
     canons = {got[r[0]]["canon"] for r in rows[:3]}
     assert canons == {"https://example.com/a/b"}, canons
+    # review regressions: 'href=' / '/ref=' must NOT match the tracking
+    # pattern; multiple leading tracking params leave no dangling '?&'
+    extra = spark.createDataFrame(
+        [
+            ("https://ex.com/p?href=abc&x=1",),
+            ("https://ex.com/dp/ref=sr_1_1?x=2",),
+            ("https://ex.com/p?utm_a=1&utm_b=2&x=1",),
+            ("https://ex.com/p?x=1",),
+        ],
+        "url string",
+    ).select("url", canonical_url(F.col("url")).alias("canon"))
+    e = {r["url"]: r["canon"] for r in extra.collect()}
+    assert e["https://ex.com/p?href=abc&x=1"] == "https://ex.com/p?href=abc&x=1"
+    assert e["https://ex.com/dp/ref=sr_1_1?x=2"] == "https://ex.com/dp/ref=sr_1_1?x=2"
+    assert e["https://ex.com/p?utm_a=1&utm_b=2&x=1"] == "https://ex.com/p?x=1"
+    assert e["https://ex.com/p?x=1"] == "https://ex.com/p?x=1"
     assert got[rows[0][0]]["host"] == "example.com"
     assert got[rows[3][0]]["host"] == "news.example.co"
     assert got[rows[3][0]]["domain"] == "example.co"

@@ -312,7 +312,8 @@ def test_full_network_valid_f1_early_stopping(spark):
     # the returned bundle is the best-F1 epoch's bundle and its F1 matches
     f1s = [h["valid_f1"] for h in res["history"]]
     assert res["best_epoch"] == f1s.index(max(f1s))
-    assert abs(evaluate_f1(spark, valid, res["bundle"]) - max(f1s)) < 1e-9
+    # decode mode must match the trained objective (softmax -> argmax)
+    assert abs(evaluate_f1(spark, valid, res["bundle"], use_crf=False) - max(f1s)) < 1e-9
 
 
 def test_full_network_adam_and_dropout(spark):
