@@ -108,3 +108,25 @@ def test_url_canonicalization(spark):
     assert got[rows[3][0]]["domain"] == "example.co"
     assert got[rows[3][0]]["path"] == "/path/page"
     assert got[rows[4][0]]["path"] == "/"
+
+
+def test_canonical_url_idempotent_property(spark):
+    """Property: canonical_url is idempotent — canonicalizing a
+    canonical form is a no-op (generated url battery, one Spark job)."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.functions.urls import canonical_url
+
+    hosts = ["Example.com", "www.news.site.co", "a.b.c.d.org"]
+    paths = ["/", "/x", "/x/y/", "/dp/ref=sr_1"]
+    queries = ["", "?utm_a=1", "?x=1&utm_b=2", "?utm_a=1&utm_b=2&x=3", "?href=q", "?x=1#frag"]
+    urls = [
+        (f"https://{h}{p}{q}",) for h, p, q in itertools.product(hosts, paths, queries)
+    ]
+    df = spark.createDataFrame(urls, "url string").select(
+        canonical_url(F.col("url")).alias("c1")
+    ).select("c1", canonical_url(F.col("c1")).alias("c2"))
+    bad = df.filter(F.col("c1") != F.col("c2")).collect()
+    assert bad == [], bad[:5]
