@@ -53,6 +53,13 @@ GRAD_SCHEMA = T.StructType(
         T.StructField("grad", T.ArrayType(T.DoubleType()), False),
         T.StructField("loss_sum", T.DoubleType(), False),
         T.StructField("n_tokens", T.LongType(), False),
+        # sparse embedding gradient: only the rows this partition's
+        # tokens touched (ids + row-major values). At a 10^8-token web
+        # vocabulary a dense row would be O(vocab x dim) per partition;
+        # this is O(distinct tokens in partition) — the wire format is
+        # sparse, the driver update stays mathematically identical.
+        T.StructField("emb_ids", T.ArrayType(T.LongType()), True),
+        T.StructField("emb_grad", T.ArrayType(T.DoubleType()), True),
     ]
 )
 
@@ -115,6 +122,8 @@ def _make_grad_fn(bundle_bc, label_to_idx: dict[str, int]):
                 "grad": [np.concatenate([dW.ravel(), db]).tolist()],
                 "loss_sum": [loss_sum],
                 "n_tokens": [n_tok],
+                "emb_ids": [[]],
+                "emb_grad": [[]],
             }
         )
 
@@ -186,7 +195,10 @@ def _make_full_grad_fn(
             return pd.Series(uniq, dtype=object).map(vocab_s).fillna(0).to_numpy(np.int64)
 
         names = _full_param_names(train_embeddings, loss)
-        acc = {n: np.zeros(arrays[n].shape, dtype=np.float64) for n in names}
+        dense_names = [n for n in names if n != "token_emb"]
+        acc = {n: np.zeros(arrays[n].shape, dtype=np.float64) for n in dense_names}
+        emb_id_parts: list[np.ndarray] = []
+        emb_val_parts: list[np.ndarray] = []
         loss_sum, n_tok = 0.0, 0
         for pdf in batches:
             tok_lists = pdf["token_arr"].to_numpy()
@@ -251,16 +263,40 @@ def _make_full_grad_fn(
                 for k, v in grads.items():
                     acc[k] += v
                 if train_embeddings:
-                    # dense scatter-add; padding rows (id 0) receive the
-                    # zeros the mask already produced
-                    np.add.at(
-                        acc["token_emb"],
-                        token_ids.ravel(),
-                        dx[:, :, :TOKEN_DIM].reshape(-1, TOKEN_DIM).astype(np.float64),
-                    )
-        flat = np.concatenate([acc[n].ravel() for n in names]) if names else np.zeros(0)
+                    # SPARSE accumulation: sum per touched row within
+                    # the sub-batch (padding id 0 receives the zeros the
+                    # mask already produced, harmless)
+                    ids_flat = token_ids.ravel()
+                    vals = dx[:, :, :TOKEN_DIM].reshape(-1, TOKEN_DIM).astype(np.float64)
+                    uniq_ids, inv = np.unique(ids_flat, return_inverse=True)
+                    sums = np.zeros((len(uniq_ids), TOKEN_DIM), dtype=np.float64)
+                    np.add.at(sums, inv, vals)
+                    emb_id_parts.append(uniq_ids)
+                    emb_val_parts.append(sums)
+        flat = (
+            np.concatenate([acc[n].ravel() for n in dense_names])
+            if dense_names
+            else np.zeros(0)
+        )
+        emb_ids: list = []
+        emb_grad: list = []
+        if emb_id_parts:
+            # compact across sub-batches: one (ids, values) pair per
+            # partition, O(distinct touched tokens), never O(vocab)
+            all_ids = np.concatenate(emb_id_parts)
+            uniq_ids, inv = np.unique(all_ids, return_inverse=True)
+            merged = np.zeros((len(uniq_ids), TOKEN_DIM), dtype=np.float64)
+            np.add.at(merged, inv, np.concatenate(emb_val_parts))
+            emb_ids = uniq_ids.tolist()
+            emb_grad = merged.ravel().tolist()
         yield pd.DataFrame(
-            {"grad": [flat.tolist()], "loss_sum": [loss_sum], "n_tokens": [n_tok]}
+            {
+                "grad": [flat.tolist()],
+                "loss_sum": [loss_sum],
+                "n_tokens": [n_tok],
+                "emb_ids": [emb_ids],
+                "emb_grad": [emb_grad],
+            }
         )
 
     return grad_batches
@@ -294,10 +330,10 @@ def train_full_network(
     far more epochs for the same progress).
 
     Gradient rows stay O(model) per partition; with train_embeddings
-    the row grows by O(vocab x dim) — fine for fixture-scale vocabs,
-    and the hashed-vocab bundle caps it at vocab_size rows at web
-    scale (a sparse/parameter-server aggregation is the 100x upgrade
-    path, same loop shape).
+    the embedding part ships sparse (touched-row ids + values, bounded
+    by the partition's distinct tokens — never O(vocab)), scattered
+    into the flat vector driver-side so the update math is identical
+    to the dense formulation.
 
     ``optimizer``: 'sgd' (momentum SGD, the reference default) or
     'adam' (reference INI ``optimizer=adam``; driver-side moment
@@ -345,9 +381,19 @@ def train_full_network(
         ).collect()
         bc.destroy()
         grad = np.zeros(total, dtype=np.float64)
+        # token_emb (when trained) is the LAST name: its block is the
+        # tail of the flat vector, filled by sparse scatter-add below
+        dense_total = total - (
+            int(np.prod(cur["arrays"]["token_emb"].shape)) if train_embeddings else 0
+        )
         loss_sum, n_tok = 0.0, 0
         for r in rows:
-            grad += np.asarray(r["grad"], dtype=np.float64)
+            grad[:dense_total] += np.asarray(r["grad"], dtype=np.float64)
+            if train_embeddings and r["emb_ids"]:
+                ids = np.asarray(r["emb_ids"], dtype=np.int64)
+                vals = np.asarray(r["emb_grad"], dtype=np.float64).reshape(len(ids), -1)
+                emb_view = grad[dense_total:].reshape(-1, vals.shape[1])
+                np.add.at(emb_view, ids, vals)
             loss_sum += r["loss_sum"]
             n_tok += r["n_tokens"]
         grad /= max(n_tok, 1)

@@ -364,3 +364,32 @@ def test_training_run_output_tree(spark, tmp_path):
 
     back = read_conll(spark, os.path.join(out, "predictions", "valid_conll"))
     assert back.count() == valid.count()
+
+
+def test_sparse_embedding_gradient_rows(spark):
+    """The per-partition gradient row is O(touched tokens), never
+    O(vocab): with a large hashed vocab (vocab_size >> corpus tokens)
+    the emb_grad payload stays bounded by the distinct tokens seen."""
+    import numpy as np
+
+    from neuroner_spark.model.train import (
+        GRAD_SCHEMA,
+        _labeled_sentences,
+        _make_full_grad_fn,
+    )
+    from neuroner_spark.model.weights import LABELS, TOKEN_DIM
+
+    corpus = _corpus_in_domain(spark).limit(1500)
+    n_distinct = corpus.select("token").distinct().count()
+    bundle = make_bundle(200_000, seed=42)  # hashed mode, huge table
+    label_to_idx = {l: i for i, l in enumerate(LABELS)}
+    sents = _labeled_sentences(corpus).repartition(4)
+    bc = spark.sparkContext.broadcast(bundle)
+    rows = sents.mapInPandas(
+        _make_full_grad_fn(bc, label_to_idx, True, "softmax"), GRAD_SCHEMA
+    ).collect()
+    for r in rows:
+        assert len(r["emb_ids"]) <= n_distinct + 1  # +1 for padding id 0
+        assert len(r["emb_grad"]) == len(r["emb_ids"]) * TOKEN_DIM
+        # dense part excludes the 200k x 100 embedding table
+        assert len(r["grad"]) < 250_000
