@@ -1,25 +1,28 @@
-"""Distributed training of the tagger's output layer (SURVEY.md O3/A8/
-F6/K4 — the reference training loop re-expressed Spark-first).
+"""Distributed training (SURVEY.md O3/A8/F6/K4 — the reference
+training loop re-expressed Spark-first).
 
 Reference parity: ``src/neuroner.py :: fit`` runs an epoch loop of
 per-sentence SGD steps (batch size 1) with per-epoch evaluation,
-checkpointing, and patience-based early stopping.  A faithful
-full-network numpy backprop would add nothing to the data-engine
-story, so the distributed shape is demonstrated on the softmax output
-head (encoder features fixed — transfer-learning style, reference
-``reload_*`` flags keep every other layer):
+checkpointing, and patience-based early stopping.  Three trainers
+share one distributed shape:
 
-  per executor : Arrow batch -> encoder features -> softmax grad
-                 (sum over the batch)  [mapInPandas, one row out]
-  cluster      : gradient rows -> driver sum  (grad size is O(model),
-                 ~2k floats — the classic parameter-server-free
-                 all-reduce-to-driver shape for small heads)
-  driver       : SGD update -> re-broadcast -> next epoch
-  epoch end    : O3 deterministic reshuffle, A8 early stop on eval
-                 accuracy, K4 per-epoch checkpoint.
+  per executor : Arrow batch -> forward (+ BPTT backward) -> gradient
+                 sums  [mapInPandas, ONE row out per partition]
+  cluster      : gradient rows -> driver sum (O(model) dense +
+                 O(touched tokens) sparse embedding part — the classic
+                 parameter-server-free all-reduce-to-driver shape)
+  driver       : clip -> momentum-SGD/Adam update -> re-broadcast
+  epoch end    : O3 deterministic reshuffle (one hash-shuffle), A8
+                 patience on train loss or valid conlleval F1, K4
+                 per-epoch checkpoint.
 
-Gradient math (F6 one-hot): p = softmax(ff @ W + b) over the 17 real
-classes; dW = ff^T (p - onehot) / n; db = col-sums; loss = mean NLL.
+- ``train_output_layer``: softmax head only, encoder frozen
+  (transfer-learning style; reference ``reload_*`` flags).
+- ``train_crf_transitions``: structured perceptron on the transition
+  matrix (Viterbi-point gradients), unaries fixed.
+- ``train_full_network``: the reference ``fit()`` — hand-derived BPTT
+  through FF + token Bi-LSTM (+ embedding rows), objective 'softmax'
+  or exact CRF log-likelihood ('crf'), optional deterministic dropout.
 """
 
 from __future__ import annotations
