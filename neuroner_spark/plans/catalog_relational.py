@@ -170,7 +170,10 @@ def q_window_frames(spark, sf_dir):
     w_rows = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # FRACTIONAL epoch seconds: cast("long") truncates microseconds and
+    # disagrees with DuckDB's fractional epoch() exactly at RANGE-frame
+    # boundaries (caught by the sf0.1 oracle sweep — 1 row in 100k)
+    epoch = F.col("ts").cast("timestamp").cast("double")
     w_range = Window.partitionBy("user_id").orderBy(epoch).rangeBetween(-3600, 0)
     return ev.select(
         "user_id",
@@ -219,7 +222,9 @@ SELECT cur, nxt, count(*) AS n FROM (
 def q_user_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
+    # fractional seconds (see q_window_frames): truncated-long gaps can
+    # disagree with DuckDB's fractional epoch() at the 1800s boundary
+    epoch = F.col("ts").cast("timestamp").cast("double")
     gap = epoch - F.lag(epoch).over(w)
     with_flag = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
     sess = with_flag.withColumn(

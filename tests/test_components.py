@@ -26,3 +26,18 @@ def test_two_triangles_and_chain(spark):
         10: 10, 11: 10, 12: 10,
         20: 20, 21: 20, 22: 20, 23: 20, 24: 20,
     }
+
+
+def test_canonical_map_distributed_fallback_matches_unionfind(spark):
+    """small_threshold=0 forces the distributed large-star/small-star
+    path; its output must equal the driver union-find's exactly."""
+    from neuroner_spark.fixtures.gen import alias_df
+    from neuroner_spark.plans.kg_pipeline import canonical_map
+
+    aliases = alias_df(spark)
+    fast = {(r["entity_id"], r["canonical_id"]) for r in canonical_map(aliases).collect()}
+    dist = {
+        (r["entity_id"], r["canonical_id"])
+        for r in canonical_map(aliases, small_threshold=0).collect()
+    }
+    assert fast == dist and len(fast) > 0

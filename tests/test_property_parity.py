@@ -176,3 +176,28 @@ def test_conlleval_f1_parity_random(spark):
         assert gp == pytest.approx(prec, abs=1e-6)
         assert gr == pytest.approx(rec, abs=1e-6)
         assert gf1 == pytest.approx(f1, abs=1e-6)
+
+
+def test_assign_sequential_ids_matches_global_window(spark):
+    """Property: two-phase id assignment == row_number() over a global
+    window, on skewed random data with heavy ties on the first key."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.operators.ids import assign_sequential_ids
+
+    rng = random.Random(7)
+    rows = [(f"tok{i:04d}", rng.choice([1, 1, 1, 2, 3, 50])) for i in range(3000)]
+    df = spark.createDataFrame(rows, "token string, cnt long").repartition(16)
+    got = {
+        r["token"]: r["idx"]
+        for r in assign_sequential_ids(df, [F.desc("cnt"), F.asc("token")], n_partitions=7).collect()
+    }
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    want = {
+        r["token"]: r["idx"]
+        for r in df.withColumn("idx", F.row_number().over(w).cast("long")).collect()
+    }
+    assert got == want
