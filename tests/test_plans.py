@@ -19,7 +19,11 @@ def test_topk_plans_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     # the rank window over the k survivors must be PARTITIONED (an
     # unpartitioned WindowExec would move everything to one partition)
-    assert "windowspecdefinition(pmod" in plan or "windowspecdefinition(_w" in plan or "partial" not in plan
+    wins = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    # the pmod partition key may be pre-projected to a _wN bound ref;
+    # either way the first windowspecdefinition arg is a PARTITION
+    # column, not a sort spec
+    assert wins and all(("pmod(" in l) or ("windowspecdefinition(_w" in l) for l in wins), wins
 
 
 def test_vocab_freq_has_no_global_window(spark):
