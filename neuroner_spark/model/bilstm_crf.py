@@ -199,6 +199,72 @@ def _lstm_backward(d_hseq, x, lengths, W, U, cache, hidden, reverse=False):
     return dx, dW, dU, db
 
 
+def char_encode_cache(char_ids, word_lengths, arrays):
+    """``char_encode`` with the activations kept for BPTT.
+    Returns (feat [N, 2*CHAR_HIDDEN], cache)."""
+    emb = arrays["char_emb"][char_ids]  # [N,W,25]
+    H = arrays["char_lstm_fw_U"].shape[0]
+    fw_seq, fw_cache = _lstm_cache(
+        emb, word_lengths, arrays["char_lstm_fw_W"], arrays["char_lstm_fw_U"], arrays["char_lstm_fw_b"], H
+    )
+    bw_seq, bw_cache = _lstm_cache(
+        emb, word_lengths, arrays["char_lstm_bw_W"], arrays["char_lstm_bw_U"], arrays["char_lstm_bw_b"], H, reverse=True
+    )
+    N = char_ids.shape[0]
+    rows = np.arange(N)
+    nonempty = word_lengths > 0
+    fw_last = np.zeros((N, H), dtype=fw_seq.dtype)
+    bw_last = np.zeros((N, H), dtype=bw_seq.dtype)
+    # h_last == h_seq at the last valid step (fw) / step 0 (bw)
+    fw_last[nonempty] = fw_seq[rows[nonempty], word_lengths[nonempty] - 1]
+    bw_last[nonempty] = bw_seq[rows[nonempty], 0]
+    cache = {
+        "emb": emb,
+        "char_ids": char_ids,
+        "word_lengths": word_lengths,
+        "fw": fw_cache,
+        "bw": bw_cache,
+        "H": H,
+    }
+    return np.concatenate([fw_last, bw_last], axis=1), cache
+
+
+def char_encode_backward(d_feat, cache, arrays):
+    """BPTT through the char Bi-LSTM word encoder.
+
+    d_feat: [N, 2*CHAR_HIDDEN] gradient on (fw_last ++ bw_last).
+    Returns grads dict for char_emb + both char LSTM weight sets.
+    The last-state gradient is injected as a d_hseq impulse at each
+    word's final valid step (fw) / step 0 (bw) — h_last IS h_seq there.
+    """
+    emb, char_ids, wl, H = cache["emb"], cache["char_ids"], cache["word_lengths"], cache["H"]
+    N, W, D = emb.shape
+    rows = np.arange(N)
+    nonempty = wl > 0
+    d_fw_seq = np.zeros((N, W, H), dtype=emb.dtype)
+    d_bw_seq = np.zeros((N, W, H), dtype=emb.dtype)
+    d_fw_seq[rows[nonempty], wl[nonempty] - 1] = d_feat[nonempty, :H]
+    d_bw_seq[rows[nonempty], 0] = d_feat[nonempty, H:]
+    dx_f, dWf, dUf, dbf = _lstm_backward(
+        d_fw_seq, emb, wl, arrays["char_lstm_fw_W"], arrays["char_lstm_fw_U"], cache["fw"], H
+    )
+    dx_b, dWb, dUb, dbb = _lstm_backward(
+        d_bw_seq, emb, wl, arrays["char_lstm_bw_W"], arrays["char_lstm_bw_U"], cache["bw"], H, reverse=True
+    )
+    dx = (dx_f + dx_b).astype(np.float64)
+    d_emb = np.zeros(arrays["char_emb"].shape, dtype=np.float64)
+    np.add.at(d_emb, char_ids.ravel(), dx.reshape(-1, D))
+    return {
+        "char_emb": d_emb,
+        "char_lstm_fw_W": dWf,
+        "char_lstm_fw_U": dUf,
+        "char_lstm_fw_b": dbf,
+        "char_lstm_bw_W": dWb,
+        "char_lstm_bw_U": dUb,
+        "char_lstm_bw_b": dbb,
+    }
+
+
 def forward_features_cache(token_ids, char_feat, lengths, arrays, dropout_mask=None):
     """``forward_features`` with the activations kept for backprop.
     Returns (ff [B,T,FF_DIM], cache).

@@ -54,7 +54,13 @@ TAGGED_SCHEMA = T.StructType(
 )
 
 
-def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, lookup_unique, arrays):
+def _encode_flat(
+    flat_tokens: np.ndarray,
+    lengths: np.ndarray,
+    lookup_unique,
+    arrays,
+    return_char_ctx: bool = False,
+):
     """Vectorized encode: flat token array (all sentences concatenated)
     + per-sentence lengths -> (token_ids [B,T], char_feat [B,T,50],
     row_idx, col_idx).
@@ -62,7 +68,12 @@ def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, lookup_unique, ar
     Char features are computed ONCE PER UNIQUE WORD (the char Bi-LSTM
     is a pure function of the surface) and scattered back — on Zipf
     web text this removes ~99% of the char-LSTM flops vs encoding every
-    occurrence, with bit-identical results."""
+    occurrence, with bit-identical results.
+
+    ``return_char_ctx=True`` (training path) additionally returns the
+    char-encoder context {inv, cache} so gradients per occurrence can
+    be summed back per unique word and BPTT'd through the char LSTM.
+    """
     B = len(lengths)
     Tmax = max(1, int(lengths.max()) if B else 1)
     N = len(flat_tokens)
@@ -81,9 +92,18 @@ def _encode_flat(flat_tokens: np.ndarray, lengths: np.ndarray, lookup_unique, ar
     W_eff = max(1, int(wl_u.max()) if len(wl_u) else 1)
     codes = u.view(np.uint32).reshape(len(u), MAX_WORD_LEN).astype(np.int64)[:, :W_eff]
     codes[codes >= 128] = 0  # non-ascii -> padding/unk char (reference UNK char idx 0)
-    feat_u = char_encode(codes, wl_u, arrays)  # [U, 50]
+    char_ctx = None
+    if return_char_ctx:
+        from neuroner_spark.model.bilstm_crf import char_encode_cache
+
+        feat_u, cc = char_encode_cache(codes, wl_u, arrays)
+        char_ctx = {"inv": inv, "cache": cc}
+    else:
+        feat_u = char_encode(codes, wl_u, arrays)  # [U, 50]
     char_feat = np.zeros((B, Tmax, feat_u.shape[1]), dtype=np.float32)
     char_feat[row_idx, col_idx] = feat_u[inv]
+    if return_char_ctx:
+        return token_ids, char_feat, row_idx, col_idx, char_ctx
     return token_ids, char_feat, row_idx, col_idx
 
 

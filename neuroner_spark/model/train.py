@@ -38,6 +38,7 @@ from pyspark.sql import types as T
 
 from neuroner_spark.model.bilstm_crf import (
     backward_features,
+    char_encode_backward,
     crf_loss_grad,
     forward_features,
     forward_features_cache,
@@ -150,12 +151,27 @@ FULL_PARAM_ORDER = [
 ]
 
 
-def _full_param_names(train_embeddings: bool, loss: str) -> list[str]:
+# char-encoder trainable set (the reference trains these too; frozen by
+# default here like its reload_character_embeddings flag)
+CHAR_PARAM_ORDER = [
+    "char_emb",
+    "char_lstm_fw_W",
+    "char_lstm_fw_U",
+    "char_lstm_fw_b",
+    "char_lstm_bw_W",
+    "char_lstm_bw_U",
+    "char_lstm_bw_b",
+]
+
+
+def _full_param_names(train_embeddings: bool, loss: str, train_chars: bool = False) -> list[str]:
     names = list(FULL_PARAM_ORDER)
     if loss == "crf":
         names.append("crf_transitions")
+    if train_chars:
+        names.extend(CHAR_PARAM_ORDER)
     if train_embeddings:
-        names.append("token_emb")
+        names.append("token_emb")  # must stay LAST (sparse tail block)
     return names
 
 
@@ -166,6 +182,7 @@ def _make_full_grad_fn(
     loss: str = "softmax",
     dropout: float = 0.0,
     dropout_seed: int = 0,
+    train_chars: bool = False,
 ):
     """mapInPandas gradient worker for the FULL network, backprop
     through FF + token Bi-LSTM via ``backward_features`` (embedding
@@ -197,7 +214,7 @@ def _make_full_grad_fn(
                 )
             return pd.Series(uniq, dtype=object).map(vocab_s).fillna(0).to_numpy(np.int64)
 
-        names = _full_param_names(train_embeddings, loss)
+        names = _full_param_names(train_embeddings, loss, train_chars)
         dense_names = [n for n in names if n != "token_emb"]
         acc = {n: np.zeros(arrays[n].shape, dtype=np.float64) for n in dense_names}
         emb_id_parts: list[np.ndarray] = []
@@ -220,7 +237,15 @@ def _make_full_grad_fn(
                     (label_to_idx.get(l, C - 1) for labs in lab_lists[idx] for l in labs),
                     dtype=np.int64,
                 )
-                token_ids, char_feat, row_idx, col_idx = _encode_flat(flat_tokens, lengths, vmap, arrays)
+                char_ctx = None
+                if train_chars:
+                    token_ids, char_feat, row_idx, col_idx, char_ctx = _encode_flat(
+                        flat_tokens, lengths, vmap, arrays, return_char_ctx=True
+                    )
+                else:
+                    token_ids, char_feat, row_idx, col_idx = _encode_flat(
+                        flat_tokens, lengths, vmap, arrays
+                    )
                 mask = None
                 if dropout > 0.0:
                     # deterministic inverted-dropout mask per sub-batch:
@@ -265,6 +290,15 @@ def _make_full_grad_fn(
                 grads, dx = backward_features(d_ff, cache, arrays)
                 for k, v in grads.items():
                     acc[k] += v
+                if train_chars:
+                    # per-occurrence char-feature grads summed back to
+                    # the unique words, then BPTT through the char LSTM
+                    d_occ = dx[:, :, TOKEN_DIM:][row_idx, col_idx]
+                    inv = char_ctx["inv"]
+                    d_feat_u = np.zeros((inv.max() + 1, d_occ.shape[1]), dtype=d_occ.dtype)
+                    np.add.at(d_feat_u, inv, d_occ)
+                    for k, v in char_encode_backward(d_feat_u, char_ctx["cache"], arrays).items():
+                        acc[k] += v
                 if train_embeddings:
                     # SPARSE accumulation: sum per touched row within
                     # the sub-batch (padding id 0 receives the zeros the
@@ -321,6 +355,7 @@ def train_full_network(
     eval_tokens: DataFrame | None = None,
     optimizer: str = "sgd",
     dropout: float = 0.0,
+    train_chars: bool = False,
 ) -> dict:
     """Reference ``src/neuroner.py :: fit`` parity: train the WHOLE
     network (token Bi-LSTM + FF + output head, optionally token
@@ -343,6 +378,11 @@ def train_full_network(
     vectors, bias-corrected).  ``dropout``: the reference
     ``dropout_rate`` — deterministic inverted-dropout on the Bi-LSTM
     output during gradient computation only (inference never drops).
+    ``train_chars``: unfreeze the char Bi-LSTM + char embeddings too
+    (the reference trains them by default; its
+    ``reload_character_embeddings`` flag freezes, like our default) —
+    gradients flow per UNIQUE word then back through the occurrence
+    scatter, so the char-LSTM BPTT cost keeps the Zipf dedup win.
 
     ``eval_tokens`` (optional, (doc_id, sent_id, pos, token, label)):
     the VALIDATION split.  When given, each epoch ends with a tagger
@@ -355,7 +395,7 @@ def train_full_network(
     label_to_idx = {l: i for i, l in enumerate(LABELS)}
     sentences = _labeled_sentences(tokens).cache()
     sentences.count()
-    names = _full_param_names(train_embeddings, loss)
+    names = _full_param_names(train_embeddings, loss, train_chars)
     history = []
     best_loss, best_epoch, stall = float("inf"), -1, 0
     best_f1, best_bundle = -1.0, None
@@ -379,6 +419,7 @@ def train_full_network(
                 loss,
                 dropout=dropout,
                 dropout_seed=seed * 100003 + epoch,
+                train_chars=train_chars,
             ),
             GRAD_SCHEMA,
         ).collect()

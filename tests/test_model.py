@@ -323,3 +323,42 @@ def test_crf_loss_grad_bruteforce_and_finite_diff():
         dn[a, b2] -= eps
         num = (crf_loss_grad(scores, lengths, gold, up)[0] - crf_loss_grad(scores, lengths, gold, dn)[0]) / (2 * eps)
         assert abs(num - d_tr[a, b2]) < 1e-5
+
+
+def test_char_encoder_gradient_check():
+    """Finite-difference check of the char Bi-LSTM BPTT (last-state
+    gradient injection + char-embedding scatter) in float64."""
+    import numpy as np
+
+    from neuroner_spark.model.bilstm_crf import (
+        char_encode,
+        char_encode_backward,
+        char_encode_cache,
+    )
+    from neuroner_spark.model.weights import make_bundle
+
+    rng = np.random.default_rng(1)
+    bundle = make_bundle({"a": 1}, seed=5)
+    arrays = {k: v.astype(np.float64) for k, v in bundle["arrays"].items()}
+    N, W = 4, 6
+    char_ids = rng.integers(1, 128, size=(N, W))
+    wl = np.array([6, 3, 1, 5])
+    R = rng.normal(size=(N, 50))
+
+    def loss(arr):
+        feat, _ = char_encode_cache(char_ids, wl, arr)
+        return float((feat * R).sum())
+
+    feat, cache = char_encode_cache(char_ids, wl, arrays)
+    assert np.allclose(feat, char_encode(char_ids, wl, bundle["arrays"]), atol=1e-4)
+    grads = char_encode_backward(R, cache, arrays)
+    eps = 1e-6
+    for name, g in grads.items():
+        for fi in rng.choice(g.size, size=6, replace=False):
+            ij = np.unravel_index(fi, g.shape)
+            up = arrays[name].copy()
+            up[ij] += eps
+            dn = arrays[name].copy()
+            dn[ij] -= eps
+            num = (loss({**arrays, name: up}) - loss({**arrays, name: dn})) / (2 * eps)
+            assert abs(num - g[ij]) <= 1e-5 * max(1.0, abs(num)), (name, ij, num, g[ij])

@@ -393,3 +393,29 @@ def test_sparse_embedding_gradient_rows(spark):
         assert len(r["emb_grad"]) == len(r["emb_ids"]) * TOKEN_DIM
         # dense part excludes the 200k x 100 embedding table
         assert len(r["grad"]) < 250_000
+
+
+def test_full_network_train_chars(spark):
+    """Literal train-from-scratch parity: with train_chars=True the
+    char Bi-LSTM + char embeddings move too, loss still decreases, and
+    the char-trained model fits at least as well as the char-frozen
+    one after the same epochs."""
+    import numpy as np
+
+    from neuroner_spark.model.train import train_full_network
+
+    corpus = _corpus_in_domain(spark)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    # momentum off: the char path multiplies effective gradient scale
+    # (unique-word grads x occurrence counts) and momentum overshoots
+    kw = dict(epochs=6, lr=1.0, momentum=0.0, patience=6, train_embeddings=True)
+    frozen = train_full_network(spark, corpus, bundle, **kw)
+    full = train_full_network(spark, corpus, bundle, train_chars=True, **kw)
+    losses = [h["loss"] for h in full["history"]]
+    assert losses[-1] < losses[0]
+    for name in ("char_emb", "char_lstm_fw_W", "char_lstm_bw_U"):
+        assert not np.array_equal(full["bundle"]["arrays"][name], bundle["arrays"][name]), name
+        assert np.array_equal(frozen["bundle"]["arrays"][name], bundle["arrays"][name]), name
+    # more trainable capacity must not fit WORSE on the train corpus
+    assert losses[-1] <= frozen["history"][-1]["loss"] * 1.1
