@@ -138,7 +138,7 @@ def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_band_pairs(
+def minhash_banded(
     docs: DataFrame,
     n: int = 3,
     bands: int = 4,
@@ -146,9 +146,8 @@ def minhash_band_pairs(
     text_col: str = "text",
     fast_hash: bool = False,
 ) -> DataFrame:
-    """MinHash-LSH candidate pairs: band the k=8 signature into
-    ``bands`` bands of 2 rows, equi-join on (band_id, band_hash).
-    Output: (a, b, n_bands_matched) with a < b."""
+    """Band the k=8 MinHash signature into ``bands`` bands of
+    k/bands rows each.  Output: (doc_id, band_id, band_hash)."""
     sig = minhash_signatures(docs, n, id_col, text_col, fast_hash)
     rows_per_band = len(MINHASH_PARAMS) // bands
     band_structs = []
@@ -157,17 +156,80 @@ def minhash_band_pairs(
         band_structs.append(
             F.struct(F.lit(bi).alias("band_id"), hash64(F.concat_ws("_", *[c.cast("string") for c in cols]), fast=fast_hash).alias("band_hash"))
         )
-    banded = sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bd")).select(
+    return sig.select("doc_id", F.explode(F.array(*band_structs)).alias("bd")).select(
         "doc_id", F.col("bd.band_id").alias("band_id"), F.col("bd.band_hash").alias("band_hash")
     )
-    a = banded.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
-    b = banded.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+
+
+def _capped_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None, id_col: str = "doc_id"):
+    """Split a bucketed frame on bucket size: (within-cap rows,
+    over-cap bucket summary).  Pairing a bucket is quadratic in its
+    size, and web corpora have ~10^6-member boilerplate duplicate
+    clusters — one hot band would emit 10^11 pairs.  Buckets above
+    ``max_bucket`` are therefore never paired; they surface in the
+    giant-bucket side output (the whole bucket IS one duplicate
+    cluster — downstream keeps min(doc_id) and drops the rest, no
+    pairs needed)."""
+    sizes = banded.groupBy(*keys).agg(F.count("*").alias("n_docs"))
+    if max_bucket is None:
+        empty = (
+            banded.groupBy(*keys)
+            .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
+            .filter(F.lit(False))
+        )
+        return banded, empty
+    small = sizes.filter(F.col("n_docs") <= max_bucket)
+    kept = banded.join(small.select(*keys), keys, "left_semi")
+    giants = (
+        banded.join(sizes.filter(F.col("n_docs") > max_bucket), keys)
+        .groupBy(*keys, "n_docs")
+        .agg(F.min(id_col).alias("keep_id"))
+    )
+    return kept, giants
+
+
+def minhash_band_pairs(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: equi-join on (band_id, band_hash).
+    Output: (a, b, n_bands_matched) with a < b.
+
+    Buckets larger than ``max_bucket`` are NOT paired (quadratic
+    blow-up guard — see ``_capped_buckets``); recover them with
+    ``minhash_giant_buckets`` on the same inputs."""
+    banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash)
+    kept, _ = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
+    a = kept.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    b = kept.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
     return (
         a.join(b, ["band_id", "band_hash"])
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").alias("n_bands_matched"))
     )
+
+
+def minhash_giant_buckets(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Side output for ``minhash_band_pairs``' cap: the over-cap
+    buckets as whole duplicate clusters.
+    Output: (band_id, band_hash, n_docs, keep_id)."""
+    banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash)
+    _, giants = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
+    return giants
 
 
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:
@@ -250,14 +312,20 @@ def duplicated_spans(
         df_counts.filter(F.col("df") >= min_df), "span_hash", "left_semi"
     ).groupBy("doc_id").agg(F.count("*").alias("n_dup_spans"))
     totals = per_doc.groupBy("doc_id").agg(F.count("*").alias("n_spans"))
+    # span-less docs (fewer than n_sents sentences) must still emit a
+    # row — a downstream quality gate that never sees them would pass
+    # them unexamined (same silent-drop hazard repetition_metrics'
+    # LEFT-join guards against)
+    all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
     return (
-        totals.join(dup, "doc_id", "left")
+        all_docs.join(totals, "doc_id", "left")
+        .join(dup, "doc_id", "left")
         .select(
             "doc_id",
-            "n_spans",
+            F.coalesce("n_spans", F.lit(0)).cast("long").alias("n_spans"),
             F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
-            F.round(F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6).alias(
-                "dup_span_frac"
-            ),
+            F.when(F.coalesce("n_spans", F.lit(0)) == 0, F.lit(0.0))
+            .otherwise(F.round(F.coalesce("n_dup_spans", F.lit(0)) / F.col("n_spans"), 6))
+            .alias("dup_span_frac"),
         )
     )

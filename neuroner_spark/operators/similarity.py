@@ -161,25 +161,42 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, tabl
     return embeddings.select("vec_id", sig.alias("sig"))
 
 
+def _lsh_all_signatures(embeddings: DataFrame, n_planes: int, dim: int, n_tables: int) -> DataFrame:
+    """(vec_id, table, sig) across ``n_tables`` independent tables."""
+    emb = embeddings.select("vec_id", "embedding")
+    sigs = None
+    for t in range(n_tables):
+        s = lsh_signatures(emb, n_planes, dim, table=t).withColumn("table", F.lit(t))
+        sigs = s if sigs is None else sigs.unionByName(s)
+    return sigs
+
+
 def lsh_bucket_pairs(
     embeddings: DataFrame,
     n_planes: int = 8,
     dim: int = 64,
     min_cos: float = 0.9,
     n_tables: int = 4,
+    max_bucket: int | None = 1000,
 ) -> DataFrame:
     """ANN candidate pairs: same bucket in ANY of ``n_tables``
     independent hyperplane tables (OR-amplification — a single table
     misses a θ-close pair with prob ≈ n_planes·θ/π, so recall is tuned
     by adding tables, never by widening buckets), then verified by
-    exact cosine. Output: (a, b, cos_sim) with a < b, cos >= min_cos."""
+    exact cosine. Output: (a, b, cos_sim) with a < b, cos >= min_cos.
+
+    Buckets larger than ``max_bucket`` are NOT paired — pairing is
+    quadratic in bucket size, and a boilerplate near-dup cluster of
+    10^6 vectors would otherwise emit 10^11 pairs from one bucket.
+    Recover over-cap buckets (each IS a near-dup cluster) with
+    ``lsh_giant_buckets`` on the same inputs."""
+    from neuroner_spark.operators.dedup import _capped_buckets
+
     emb = embeddings.select("vec_id", "embedding")
-    sigs = None
-    for t in range(n_tables):
-        s = lsh_signatures(emb, n_planes, dim, table=t).withColumn("table", F.lit(t))
-        sigs = s if sigs is None else sigs.unionByName(s)
-    a = sigs.select(F.col("vec_id").alias("a"), "table", "sig")
-    b = sigs.select(F.col("vec_id").alias("b"), "table", "sig")
+    sigs = _lsh_all_signatures(embeddings, n_planes, dim, n_tables)
+    kept, _ = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
+    a = kept.select(F.col("vec_id").alias("a"), "table", "sig")
+    b = kept.select(F.col("vec_id").alias("b"), "table", "sig")
     cand = a.join(b, ["table", "sig"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
@@ -189,3 +206,20 @@ def lsh_bucket_pairs(
         .select("a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cos)
     )
+
+
+def lsh_giant_buckets(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Side output for ``lsh_bucket_pairs``' cap: the over-cap buckets
+    as whole near-dup clusters.
+    Output: (table, sig, n_docs, keep_id)."""
+    from neuroner_spark.operators.dedup import _capped_buckets
+
+    sigs = _lsh_all_signatures(embeddings, n_planes, dim, n_tables)
+    _, giants = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
+    return giants

@@ -164,8 +164,56 @@ def test_duplicated_spans_c4_style(spark):
     out = {r["doc_id"]: r for r in duplicated_spans(docs).collect()}
     assert out[0]["n_dup_spans"] >= 1 and out[1]["n_dup_spans"] >= 1
     assert out[2]["n_dup_spans"] == 0 and out[2]["n_spans"] > 0
-    assert 3 not in out  # no spans at all -> no row
+    # span-less docs still get a row (no silent drop past a quality gate)
+    assert out[3]["n_spans"] == 0 and out[3]["n_dup_spans"] == 0
+    assert out[3]["dup_span_frac"] == 0.0
     assert 0 < out[0]["dup_span_frac"] <= 1.0
+
+
+def test_minhash_hot_bucket_cap_bounds_pairs(spark):
+    """A giant duplicate cluster (the web's boilerplate case) must not
+    emit quadratic pairs: over-cap band buckets route to the
+    giant-bucket side output; small buckets still pair normally."""
+    from neuroner_spark.operators.dedup import minhash_band_pairs, minhash_giant_buckets
+
+    n_clones = 3000
+    rows = [(i, BASE) for i in range(n_clones)]
+    rows += [
+        (n_clones, "totally different text alpha beta gamma delta epsilon zeta"),
+        (n_clones + 1, "totally different text alpha beta gamma delta epsilon zeta"),
+        (n_clones + 2, "yet another unrelated document about streams and windows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = minhash_band_pairs(docs, max_bucket=100).collect()
+    # uncapped, the clone cluster alone would emit ~n_clones^2/2 = 4.5M pairs
+    assert len(pairs) < 100
+    # the small exact-dup pair outside the giant cluster still pairs
+    assert any(r["a"] == n_clones and r["b"] == n_clones + 1 for r in pairs)
+    giants = minhash_giant_buckets(docs, max_bucket=100).collect()
+    assert len(giants) >= 1
+    assert all(g["n_docs"] >= n_clones and g["keep_id"] == 0 for g in giants)
+    # cap=None restores the uncapped semantics (schema-only empty giants)
+    assert minhash_giant_buckets(docs, max_bucket=None).count() == 0
+
+
+def test_lsh_hot_bucket_cap_bounds_pairs(spark):
+    """Same guard on the hyperplane-LSH pair generator."""
+    from neuroner_spark.operators.similarity import lsh_bucket_pairs, lsh_giant_buckets
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, 64).astype(np.float32)
+    n_clones = 2000
+    rows = [(i, base.tolist()) for i in range(n_clones)]
+    other = rng.normal(0, 1, 64).astype(np.float32)
+    rows += [(n_clones, other.tolist()), (n_clones + 1, other.tolist())]
+    rows += [(n_clones + 2 + i, rng.normal(0, 1, 64).astype(np.float32).tolist()) for i in range(5)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = lsh_bucket_pairs(emb, n_planes=8, dim=64, min_cos=0.9, max_bucket=100).collect()
+    assert len(pairs) < 100  # uncapped: ~2M pairs from the clone bucket
+    assert any(r["a"] == n_clones and r["b"] == n_clones + 1 for r in pairs)
+    giants = lsh_giant_buckets(emb, n_planes=8, dim=64, max_bucket=100).collect()
+    assert len(giants) >= 1
+    assert all(g["n_docs"] >= n_clones and g["keep_id"] == 0 for g in giants)
 
 
 def test_repetition_metrics_keeps_tiny_docs(spark):
