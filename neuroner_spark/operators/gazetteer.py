@@ -82,14 +82,23 @@ def ngram_candidates(tokens: DataFrame, max_n: int = MAX_N, anchor_words: DataFr
     return exploded.withColumn("surface_norm", surface_norm(F.col("surface")))
 
 
-def match_mentions(tokens: DataFrame, alias_dict: DataFrame, max_n: int = MAX_N) -> DataFrame:
+def match_mentions(
+    tokens: DataFrame, alias_dict: DataFrame, max_n: int = MAX_N, overlap: str = "containment"
+) -> DataFrame:
     """tokens × alias_dict -> mentions(doc_id, sent_id, pos, n, surface,
-    surface_norm, start, end) — longest-match-first, CONTAINMENT-
-    resolved: at each start position only the longest hit survives, and
-    hits strictly contained in a longer earlier hit are dropped.
-    Staggered partial overlaps (e.g. pos 0 n=3 and pos 2 n=3) are BOTH
-    kept — this matches the SQL oracle; downstream consumers needing
-    strict non-overlap should add a greedy left-to-right pass.
+    surface_norm, start, end) — longest-match-first, then overlap
+    resolution per ``overlap``:
+
+    - ``'containment'`` (default, matches the SQL oracle): at each
+      start position only the longest hit survives, and hits strictly
+      contained in a longer earlier hit are dropped.  Staggered partial
+      overlaps (e.g. pos 0 n=3 and pos 2 n=3) are BOTH kept.
+    - ``'greedy'``: strict left-to-right non-overlap on top of the
+      containment pass — a hit is kept iff it starts after the last
+      kept hit ends.  Sequential per sentence, but sentences are
+      bounded, so it runs as ONE JVM-side ``aggregate`` over the
+      per-sentence hit array (no UDF, no extra shuffle beyond the
+      sentence groupBy).
     """
     anchors = alias_dict.select(
         F.element_at(F.split(F.col("alias_norm"), " "), 1).alias("first_word")
@@ -119,8 +128,48 @@ def match_mentions(tokens: DataFrame, alias_dict: DataFrame, max_n: int = MAX_N)
             & (p_pos < F.col("pos"))
             & (p_pos + p_n >= F.col("pos") + F.col("n"))
         )
-    return (
+    resolved = (
         longest.withColumn("_contained", contained)
         .filter(~F.col("_contained"))
         .drop("_contained")
+    )
+    if overlap == "containment":
+        return resolved
+    if overlap != "greedy":
+        raise ValueError(f"overlap must be 'containment' or 'greedy', got {overlap!r}")
+    return _greedy_nonoverlap(resolved)
+
+
+def _greedy_nonoverlap(mentions: DataFrame) -> DataFrame:
+    """Left-to-right greedy non-overlap, fully JVM-side: collect each
+    sentence's hits (sentences are bounded), fold over them sorted by
+    pos keeping a hit iff it starts past the last kept end, re-explode.
+    The fold is a higher-order ``aggregate`` — whole-stage-codegen'd,
+    no Python on the path."""
+    cols = [c for c in mentions.columns if c not in ("doc_id", "sent_id")]
+    packed = mentions.groupBy("doc_id", "sent_id").agg(
+        F.array_sort(F.collect_list(F.struct("pos", *[c for c in cols if c != "pos"]))).alias(
+            "_hits"
+        )
+    )
+    kept = F.aggregate(
+        F.col("_hits"),
+        F.struct(
+            F.lit(-1).cast("int").alias("last_end"),
+            F.array().cast(
+                packed.schema["_hits"].dataType.simpleString()
+            ).alias("kept"),
+        ),
+        lambda acc, h: F.when(
+            h["pos"] > acc["last_end"],
+            F.struct(
+                (h["pos"] + h["n"] - 1).cast("int").alias("last_end"),
+                F.array_append(acc["kept"], h).alias("kept"),
+            ),
+        ).otherwise(acc),
+        lambda acc: acc["kept"],
+    )
+    return (
+        packed.select("doc_id", "sent_id", F.explode(kept).alias("h"))
+        .select("doc_id", "sent_id", "h.pos", *[f"h.{c}" for c in cols if c != "pos"])
     )

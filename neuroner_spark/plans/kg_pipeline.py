@@ -42,6 +42,10 @@ from neuroner_spark.operators.gazetteer import match_mentions
 from neuroner_spark.operators.linking import link_mentions
 
 NEAR_WINDOW = 5
+# co_occurs_with pairing is quadratic per doc; cap is far above any
+# real page's distinct-entity count, so it only trips on pathological
+# directory/spam pages (the skew killers at crawl scale)
+MAX_ENTITIES_PER_DOC = 10_000
 
 
 def _manifest_path(out_dir: str, stage: str) -> str:
@@ -179,8 +183,37 @@ def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> Data
     )
 
 
-def triples_from_linked(linked: DataFrame, canon: DataFrame, pages_meta: DataFrame) -> DataFrame:
-    """linked mentions -> (subj, pred, obj, url, warc_ts) distinct."""
+def co_occurrence_capped_docs(
+    linked: DataFrame, canon: DataFrame, max_entities_per_doc: int = MAX_ENTITIES_PER_DOC
+) -> DataFrame:
+    """Docs whose distinct-canonical-entity count exceeds the
+    ``co_occurs_with`` cap (see ``triples_from_linked``).
+    Output: (doc_id, n_ents) — the pipeline materializes this as its
+    own lineage stage so capped docs are auditable, never silent."""
+    m = linked.join(F.broadcast(canon), "entity_id").select(
+        "doc_id", F.col("canonical_id").alias("ent")
+    )
+    return (
+        m.groupBy("doc_id")
+        .agg(F.countDistinct("ent").alias("n_ents"))
+        .filter(F.col("n_ents") > max_entities_per_doc)
+    )
+
+
+def triples_from_linked(
+    linked: DataFrame,
+    canon: DataFrame,
+    pages_meta: DataFrame,
+    max_entities_per_doc: int = MAX_ENTITIES_PER_DOC,
+) -> DataFrame:
+    """linked mentions -> (subj, pred, obj, url, warc_ts) distinct.
+
+    ``co_occurs_with`` is semantically quadratic per doc (all distinct
+    entity pairs), so a directory-style page with 10^4 distinct
+    entities would emit 5x10^7 pairs on ONE doc_id shuffle key. Docs
+    above ``max_entities_per_doc`` are excluded from co-occurrence
+    pairing (their same_sentence/near triples — bounded by sentence
+    length — are kept); ``co_occurrence_capped_docs`` lists them."""
     m = (
         linked.join(F.broadcast(canon), "entity_id")
         .select("doc_id", "sent_id", "pos", F.col("canonical_id").alias("ent"))
@@ -204,8 +237,18 @@ def triples_from_linked(linked: DataFrame, canon: DataFrame, pages_meta: DataFra
     )
     da = m.select("doc_id", F.col("ent").alias("subj")).distinct()
     db = m.select("doc_id", F.col("ent").alias("obj")).distinct()
+    # skew guard: filtering ONE side of the self-join is enough to kill
+    # the quadratic output (the other side's rows dangle and drop),
+    # and ships only linear rows for capped docs through the shuffle
+    ok_docs = (
+        da.groupBy("doc_id")
+        .agg(F.count("*").alias("n_ents"))
+        .filter(F.col("n_ents") <= max_entities_per_doc)
+        .select("doc_id")
+    )
     co_doc = (
-        da.join(db, "doc_id")
+        da.join(ok_docs, "doc_id", "left_semi")
+        .join(db, "doc_id")
         .filter(F.col("subj") < F.col("obj"))
         .select("doc_id", "subj", "obj")
         .withColumn("pred", F.lit("co_occurs_with"))
@@ -251,6 +294,7 @@ def run_pipeline(
     mention_source: str = "gazetteer",
     bundle: dict | None = None,
     validate: bool = False,
+    max_entities_per_doc: int = MAX_ENTITIES_PER_DOC,
 ) -> dict:
     """Run all stages with checkpoint/resume; returns
     {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
@@ -302,8 +346,20 @@ def run_pipeline(
     canon = stage("canonical", fp_alias + "|cc", lambda: canonical_map(alias_dict))
     triples = stage(
         "triples",
-        fp_linked + f"|triples:w={NEAR_WINDOW}",
-        lambda: triples_from_linked(linked, canon, norm.select(F.col("doc_id").alias("url"), "warc_ts")),
+        fp_linked + f"|triples:w={NEAR_WINDOW}:cap={max_entities_per_doc}",
+        lambda: triples_from_linked(
+            linked,
+            canon,
+            norm.select(F.col("doc_id").alias("url"), "warc_ts"),
+            max_entities_per_doc=max_entities_per_doc,
+        ),
+    )
+    # skew-cap audit trail: docs excluded from co_occurs_with pairing,
+    # materialized with their own manifest (n_rows == capped doc count)
+    capped = stage(
+        "co_occurs_capped",
+        fp_linked + f"|capped:cap={max_entities_per_doc}",
+        lambda: co_occurrence_capped_docs(linked, canon, max_entities_per_doc),
     )
     entities = stage(
         "entities",
@@ -317,4 +373,10 @@ def run_pipeline(
     )
     with open(os.path.join(out_dir, "lineage.json"), "w") as f:
         json.dump(lineage, f, indent=1)
-    return {"triples": triples, "entities": entities, "linked": linked, "lineage": lineage}
+    return {
+        "triples": triples,
+        "entities": entities,
+        "linked": linked,
+        "co_occurs_capped": capped,
+        "lineage": lineage,
+    }

@@ -52,6 +52,88 @@ def test_resume_skips_stages(spark, pipeline_out):
     assert t1 == t2
 
 
+def test_gazetteer_greedy_nonoverlap(spark):
+    """overlap='greedy' enforces strict left-to-right non-overlap on
+    staggered matches; the default containment mode keeps both (oracle
+    semantics unchanged)."""
+    from neuroner_spark.operators.gazetteer import match_mentions
+
+    toks = spark.createDataFrame(
+        [
+            ("d", 0, i, t, i * 5, i * 5 + 4)
+            for i, t in enumerate("alpha beta gamma delta epsilon zeta".split())
+        ],
+        "doc_id string, sent_id long, pos int, token string, start long, end long",
+    )
+    aliases = spark.createDataFrame(
+        [
+            ("alpha beta gamma", "alpha beta gamma", 1, "X", 1.0),
+            ("gamma delta epsilon", "gamma delta epsilon", 2, "Y", 1.0),
+            ("epsilon zeta", "epsilon zeta", 3, "Z", 1.0),
+        ],
+        "alias string, alias_norm string, entity_id long, canonical_name string, prior double",
+    )
+    contain = [
+        (r["pos"], r["n"])
+        for r in match_mentions(toks, aliases).orderBy("pos").collect()
+    ]
+    assert contain == [(0, 3), (2, 3), (4, 2)]  # staggered overlap kept
+    greedy = [
+        (r["pos"], r["n"])
+        for r in match_mentions(toks, aliases, overlap="greedy").orderBy("pos").collect()
+    ]
+    # pos-2 hit overlaps the kept pos-0 hit (ends at 2) -> dropped;
+    # pos-4 starts past it -> kept
+    assert greedy == [(0, 3), (4, 2)]
+    with pytest.raises(ValueError):
+        match_mentions(toks, aliases, overlap="nope")
+
+
+def test_co_occurrence_skew_cap(spark):
+    """A directory-style doc with more distinct entities than the cap
+    emits NO co_occurs_with pairs (quadratic blow-up guard); its
+    sentence-bounded triples survive, small docs are untouched, and the
+    capped doc is listed in the audit side output."""
+    from neuroner_spark.plans.kg_pipeline import (
+        co_occurrence_capped_docs,
+        triples_from_linked,
+    )
+
+    big = [("big", i, 0, 100 + i) for i in range(300)]  # 1 entity/sentence
+    small = [("small", 0, 0, 1), ("small", 0, 1, 2)]
+    linked = spark.createDataFrame(
+        big + small, "doc_id string, sent_id long, pos int, entity_id long"
+    )
+    canon = spark.createDataFrame(
+        [(i, i) for i in list(range(1, 3)) + list(range(100, 400))],
+        "entity_id long, canonical_id long",
+    )
+    meta = spark.createDataFrame(
+        [("big", None), ("small", None)], "url string, warc_ts timestamp"
+    )
+    trips = triples_from_linked(linked, canon, meta, max_entities_per_doc=100).collect()
+    co = [(r["url"], r["subj"], r["obj"]) for r in trips if r["pred"] == "co_occurs_with"]
+    assert co == [("small", 1, 2)]  # big doc's 300*299/2 pairs suppressed
+    # bounded predicates still emitted for the small doc
+    assert any(r["pred"] == "same_sentence_as" and r["url"] == "small" for r in trips)
+    capped = co_occurrence_capped_docs(linked, canon, max_entities_per_doc=100).collect()
+    assert [(r["doc_id"], r["n_ents"]) for r in capped] == [("big", 300)]
+    # cap above the doc's entity count -> full quadratic output restored
+    full = triples_from_linked(linked, canon, meta, max_entities_per_doc=1000)
+    n_co_big = full.filter((F.col("pred") == "co_occurs_with") & (F.col("url") == "big")).count()
+    assert n_co_big == 300 * 299 // 2
+
+
+def test_pipeline_records_capped_docs_stage(pipeline_out):
+    """The skew cap leaves an audit trail: the co_occurs_capped stage
+    is materialized with its own manifest (0 rows on the fixture)."""
+    res, out, _p, _a = pipeline_out
+    by_stage = {m["stage"]: m for m in res["lineage"]}
+    assert by_stage["co_occurs_capped"]["n_rows"] == 0
+    assert os.path.exists(os.path.join(out, "co_occurs_capped", "_manifest.json"))
+    assert res["co_occurs_capped"].count() == 0
+
+
 def test_input_change_invalidates_checkpoint(spark, pipeline_out):
     _res, out, pages, aliases = pipeline_out
     fewer = pages.limit(150)
