@@ -29,10 +29,73 @@ def url_host(url: Column) -> Column:
     return F.regexp_replace(host, r"^www\.", "")
 
 
+# Trimmed snapshot of the Mozilla Public Suffix List (public data,
+# publicsuffix.org): the two-label public suffixes covering the major
+# ccTLD second-level registries seen in web crawls. Hosts under one of
+# these register at the THIRD label (bbc.co.uk), not the second.
+_PSL_2LD = {
+    "uk": ["ac", "co", "gov", "ltd", "me", "mod", "net", "nhs", "org", "plc", "police", "sch"],
+    "au": ["asn", "com", "edu", "gov", "id", "net", "org"],
+    "nz": ["ac", "co", "geek", "gen", "govt", "kiwi", "maori", "net", "org", "school"],
+    "za": ["ac", "co", "edu", "gov", "law", "mil", "net", "org", "school", "web"],
+    "br": ["adv", "art", "blog", "com", "edu", "eco", "gov", "ind", "inf", "mil", "net", "org", "tv", "wiki"],
+    "jp": ["ac", "ad", "co", "ed", "go", "gr", "lg", "ne", "or"],
+    "kr": ["ac", "co", "es", "go", "hs", "kg", "mil", "ms", "ne", "or", "pe", "re", "sc"],
+    "in": ["ac", "co", "edu", "firm", "gen", "gov", "ind", "mil", "net", "nic", "org", "res"],
+    "cn": ["ac", "com", "edu", "gov", "mil", "net", "org"],
+    "tw": ["club", "com", "ebiz", "edu", "game", "gov", "idv", "mil", "net", "org"],
+    "hk": ["com", "edu", "gov", "idv", "net", "org"],
+    "sg": ["com", "edu", "gov", "net", "org", "per"],
+    "mx": ["com", "edu", "gob", "net", "org"],
+    "ar": ["com", "edu", "gob", "gov", "int", "mil", "net", "org", "tur"],
+    "tr": ["av", "bbs", "bel", "biz", "com", "dr", "edu", "gen", "gov", "info", "k12", "mil", "name", "net", "org", "pol", "tv", "web"],
+    "il": ["ac", "co", "gov", "idf", "k12", "muni", "net", "org"],
+    "ua": ["com", "edu", "gov", "in", "net", "org"],
+    "th": ["ac", "co", "go", "in", "mi", "net", "or"],
+    "id": ["ac", "biz", "co", "desa", "go", "mil", "my", "net", "or", "sch", "web"],
+    "my": ["com", "edu", "gov", "mil", "name", "net", "org"],
+    "ph": ["com", "edu", "gov", "mil", "net", "ngo", "org"],
+    "vn": ["ac", "biz", "com", "edu", "gov", "health", "info", "int", "name", "net", "org", "pro"],
+    "pl": ["biz", "com", "edu", "gov", "info", "mil", "net", "org", "waw"],
+    "ng": ["com", "edu", "gov", "mil", "mobi", "name", "net", "org", "sch"],
+    "ke": ["ac", "co", "go", "info", "me", "mobi", "ne", "or", "sc"],
+    "eg": ["com", "edu", "eun", "gov", "mil", "name", "net", "org", "sci"],
+    "sa": ["com", "edu", "gov", "med", "net", "org", "pub", "sch"],
+    "ae": ["ac", "co", "gov", "mil", "net", "org", "sch"],
+    "pk": ["biz", "com", "edu", "fam", "gob", "gov", "net", "org", "web"],
+    "bd": ["ac", "com", "edu", "gov", "mil", "net", "org"],
+    "lk": ["ac", "com", "edu", "gov", "int", "net", "org", "sch"],
+    "np": ["com", "edu", "gov", "mil", "net", "org"],
+    "ir": ["ac", "co", "gov", "id", "net", "org", "sch"],
+    "ru": ["com", "net", "org", "pp"],
+    "rs": ["ac", "co", "edu", "gov", "in", "org"],
+    "gr": ["com", "edu", "gov", "net", "org"],
+    "cy": ["ac", "biz", "com", "gov", "ltd", "net", "org", "press", "pro", "tm"],
+    "ck": ["biz", "co", "edu", "gen", "gov", "info", "net", "org"],
+}
+TWO_LABEL_SUFFIXES = sorted(
+    f"{sld}.{tld}" for tld, slds in _PSL_2LD.items() for sld in slds
+)
+
+
 def url_domain(url: Column) -> Column:
-    """Registrable-ish domain: last two labels of the host (heuristic —
-    a public-suffix list is the production upgrade, same call site)."""
-    return F.regexp_extract(url_host(url), r"([^.]+\.[^.]+)$", 1)
+    """Registrable domain of the host, public-suffix-aware: hosts under
+    a two-label public suffix (``co.uk``, ``com.au``, …) keep THREE
+    labels, everything else the last two (the heuristic fallback).
+    Pure column expressions — the suffix table compiles to one Catalyst
+    ``IN`` over the last-two-label string, zero UDFs/shuffles.  A bare
+    suffix host ('co.uk' itself) has no registrable domain and falls
+    through to the two-label answer."""
+    host = url_host(url)
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
+    last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    return (
+        F.when((n >= 3) & last2.isin(TWO_LABEL_SUFFIXES), last3)
+        .when(n >= 2, last2)
+        .otherwise(host)
+    )
 
 
 def url_path(url: Column) -> Column:

@@ -110,6 +110,32 @@ def test_url_canonicalization(spark):
     assert got[rows[4][0]]["path"] == "/"
 
 
+def test_url_domain_psl(spark):
+    """Public-suffix-aware registrable domains: two-label public
+    suffixes keep three labels; the two-label heuristic remains the
+    fallback for ordinary TLDs and unknown suffixes."""
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.functions.urls import url_domain
+
+    cases = {
+        "https://www.bbc.co.uk/news": "bbc.co.uk",
+        "https://a.b.example.co.uk/": "example.co.uk",
+        "http://shop.example.com.au/x": "example.com.au",
+        "https://www.example.com/": "example.com",
+        "https://news.example.co/p": "example.co",
+        "https://sub.deep.example.org/": "example.org",
+        "https://city.gov.uk/": "city.gov.uk",
+        "http://localhost/x": "localhost",
+        "https://co.uk/": "co.uk",  # bare suffix: no registrable domain
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string").select(
+        "url", url_domain(F.col("url")).alias("domain")
+    )
+    got = {r["url"]: r["domain"] for r in df.collect()}
+    assert got == cases
+
+
 def test_canonical_url_idempotent_property(spark):
     """Property: canonical_url is idempotent — canonicalizing a
     canonical form is a no-op (generated url battery, one Spark job)."""
