@@ -24,14 +24,47 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
-def read_conll(spark: SparkSession, path: str) -> DataFrame:
+MAX_CONLL_FILE_BYTES = 256 << 20  # wholetext = one task + one JVM string per file
+
+
+def read_conll(spark: SparkSession, path: str, max_file_bytes: int = MAX_CONLL_FILE_BYTES) -> DataFrame:
     """path (file/glob/dir of CoNLL text) ->
     tokens(doc_id, sent_id, pos, token, label, extras:array<string>).
+
+    Size bound: ``wholetext`` makes each file ONE task and ONE JVM
+    string (that is what guarantees in-file line order), so a multi-GB
+    single file would serialize onto one executor thread.  Files above
+    ``max_file_bytes`` (default 256 MB) raise at scan time with a
+    pointer to the parquet token-table path — the scale format.  CoNLL
+    text is an ingest format only; the reference's own splits are
+    single-digit MB per file.
     """
+    # NOTE: must be the kwarg form — in PySpark 4.1 the builder form
+    # ``.option("wholetext", True).text(path)`` silently ignores the
+    # option and scans line-mode, which re-opens the multi-split
+    # line-scramble bug wholetext exists to prevent (found when the
+    # size guard below never fired: per-LINE octet_length was tiny)
     raw = (
-        spark.read.option("wholetext", True)
-        .text(path)
+        spark.read.text(path, wholetext=True)
         .select(F.input_file_name().alias("doc_id"), F.col("value"))
+        .select(
+            "doc_id",
+            F.when(
+                F.octet_length("value") > max_file_bytes,
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"CoNLL file over {max_file_bytes} bytes: "),
+                        F.col("doc_id"),
+                        F.lit(
+                            " (wholetext reads one file per task; convert"
+                            " large corpora to the parquet token table)"
+                        ),
+                    )
+                ),
+            )
+            .otherwise(F.col("value"))
+            .alias("value"),
+        )
         .select(
             "doc_id",
             F.posexplode(F.split("value", "\r?\n")).alias("line_no", "value"),

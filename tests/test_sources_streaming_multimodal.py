@@ -35,6 +35,24 @@ def test_conll_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_conll_file_size_guard(spark, tmp_path):
+    """wholetext = one task + one JVM string per file, so oversized
+    files must fail loudly with a pointer to the parquet path."""
+    from py4j.protocol import Py4JJavaError
+
+    from neuroner_spark.sources.conll import read_conll
+
+    src = str(tmp_path / "conll_big")
+    os.makedirs(src)
+    with open(os.path.join(src, "big.txt"), "w") as f:
+        f.write("tok O\n" * 200)
+    with pytest.raises(Exception) as exc:
+        read_conll(spark, src, max_file_bytes=100).collect()
+    assert "parquet token table" in str(exc.value)
+    # under the bound the same file reads fine
+    assert read_conll(spark, src, max_file_bytes=1 << 20).count() == 200
+
+
 def test_brat_read_and_invariant(spark, tmp_path):
     from neuroner_spark.sources.brat import (
         annotation_violations,
