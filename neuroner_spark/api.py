@@ -90,7 +90,9 @@ def fit(
         "patience": int(extra.get("patience", 10)),
         "clip": float(extra.get("gradient_clipping_value", 5.0)),
         "optimizer": str(extra.get("optimizer", "sgd")),
-        "dropout": float(extra.get("dropout_rate", 0.0)),
+        # the reference default is 0.5 — a config without the key must
+        # not silently train without regularization
+        "dropout": float(extra.get("dropout_rate", 0.5)),
         "seed": int(getattr(config, "seed", 42)),
     }
     if config is not None:

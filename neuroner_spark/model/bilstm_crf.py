@@ -269,13 +269,16 @@ def forward_features_cache(token_ids, char_feat, lengths, arrays, dropout_mask=N
     """``forward_features`` with the activations kept for backprop.
     Returns (ff [B,T,FF_DIM], cache).
 
-    ``dropout_mask`` (optional, [B,T,2H], inverted-dropout scaled):
-    applied to the Bi-LSTM output before the FF layer — the reference's
-    ``dropout_rate`` site (`entity_lstm.py` applies dropout to the
-    token-LSTM output).  Train-only; inference never passes one.
+    ``dropout_mask`` (optional, [B,T,TOKEN_DIM+2*CHAR_HIDDEN],
+    inverted-dropout scaled): applied to the token-LSTM INPUT — the
+    concat of token embedding and char-LSTM output — matching the
+    reference's site (`entity_lstm.py` drops out ``token_lstm_input``
+    before the token LSTM).  Train-only; inference never passes one.
     """
     tok_emb = arrays["token_emb"][token_ids]
     x = np.concatenate([tok_emb, char_feat], axis=2)
+    if dropout_mask is not None:
+        x = x * dropout_mask.astype(x.dtype)  # cache the MASKED x: it is what the LSTMs saw
     fw_seq, fw_cache = _lstm_cache(
         x, lengths, arrays["token_lstm_fw_W"], arrays["token_lstm_fw_U"], arrays["token_lstm_fw_b"], arrays["token_lstm_fw_U"].shape[0]
     )
@@ -283,12 +286,10 @@ def forward_features_cache(token_ids, char_feat, lengths, arrays, dropout_mask=N
         x, lengths, arrays["token_lstm_bw_W"], arrays["token_lstm_bw_U"], arrays["token_lstm_bw_b"], arrays["token_lstm_bw_U"].shape[0], reverse=True
     )
     h = np.concatenate([fw_seq, bw_seq], axis=2)
-    if dropout_mask is not None:
-        h = h * dropout_mask.astype(h.dtype)
     ff = np.tanh(h @ arrays["ff_W"] + arrays["ff_b"])
     cache = {
         "x": x,
-        "h": h,  # post-dropout when a mask is given (d_ff_W uses this)
+        "h": h,
         "ff": ff,
         "fw": fw_cache,
         "bw": bw_cache,
@@ -311,8 +312,6 @@ def backward_features(d_ff, cache, arrays):
     d_ff_W = h.reshape(B * T, H2).astype(np.float64).T @ d_pre.reshape(B * T, FF).astype(np.float64)
     d_ff_b = d_pre.reshape(B * T, FF).sum(axis=0).astype(np.float64)
     d_h = d_pre @ arrays["ff_W"].T
-    if cache.get("dropout_mask") is not None:
-        d_h = d_h * cache["dropout_mask"].astype(d_h.dtype)
     dx_f, dWf, dUf, dbf = _lstm_backward(
         d_h[:, :, :hidden], x, lengths, arrays["token_lstm_fw_W"], arrays["token_lstm_fw_U"], cache["fw"], hidden
     )
@@ -329,7 +328,11 @@ def backward_features(d_ff, cache, arrays):
         "ff_W": d_ff_W,
         "ff_b": d_ff_b,
     }
-    return grads, dx_f + dx_b
+    dx = dx_f + dx_b  # gradient wrt the (masked) LSTM input
+    if cache.get("dropout_mask") is not None:
+        # chain through the input dropout: d(raw x) = d(masked x) * mask
+        dx = dx * cache["dropout_mask"].astype(dx.dtype)
+    return grads, dx
 
 
 def _logsumexp(a, axis):

@@ -45,10 +45,10 @@ from neuroner_spark.model.bilstm_crf import (
 )
 from neuroner_spark.model.tagger import SUB_BATCH, _encode_flat
 from neuroner_spark.model.weights import (
+    CHAR_HIDDEN,
     LABELS,
     N_CLASSES,
     TOKEN_DIM,
-    TOKEN_HIDDEN,
     save_bundle,
 )
 
@@ -220,7 +220,7 @@ def _make_full_grad_fn(
         emb_id_parts: list[np.ndarray] = []
         emb_val_parts: list[np.ndarray] = []
         loss_sum, n_tok = 0.0, 0
-        for pdf in batches:
+        for chunk_no, pdf in enumerate(batches):
             tok_lists = pdf["token_arr"].to_numpy()
             lab_lists = pdf["label_arr"].to_numpy()
             lens = np.fromiter((len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists))
@@ -248,12 +248,23 @@ def _make_full_grad_fn(
                     )
                 mask = None
                 if dropout > 0.0:
-                    # deterministic inverted-dropout mask per sub-batch:
-                    # keyed by (epoch seed, batch offset, shape) so a
-                    # re-run of the same epoch reproduces the gradient
+                    # deterministic inverted-dropout mask per sub-batch,
+                    # keyed by (epoch seed, PARTITION, running chunk,
+                    # batch offset): a re-run of the same epoch
+                    # reproduces the gradient, but masks are independent
+                    # across partitions and pandas chunks — seeding on
+                    # shape alone correlated dropout noise cluster-wide
+                    from pyspark import TaskContext
+
+                    tc = TaskContext.get()
+                    pid = tc.partitionId() if tc is not None else 0
                     B_, T_ = token_ids.shape
-                    rng = np.random.default_rng([dropout_seed, s0, B_, T_])
-                    mask = (rng.random((B_, T_, 2 * TOKEN_HIDDEN)) >= dropout) / (1.0 - dropout)
+                    rng = np.random.default_rng([dropout_seed, pid, chunk_no, s0])
+                    # mask the token-LSTM INPUT (reference site):
+                    # token embedding ++ char-LSTM feature
+                    mask = (
+                        rng.random((B_, T_, TOKEN_DIM + 2 * CHAR_HIDDEN)) >= dropout
+                    ) / (1.0 - dropout)
                 ff, cache = forward_features_cache(
                     token_ids, char_feat, lengths, arrays, dropout_mask=mask
                 )
@@ -376,8 +387,12 @@ def train_full_network(
     ``optimizer``: 'sgd' (momentum SGD, the reference default) or
     'adam' (reference INI ``optimizer=adam``; driver-side moment
     vectors, bias-corrected).  ``dropout``: the reference
-    ``dropout_rate`` — deterministic inverted-dropout on the Bi-LSTM
-    output during gradient computation only (inference never drops).
+    ``dropout_rate`` — deterministic inverted-dropout on the token-LSTM
+    INPUT (token embedding ++ char feature, the reference
+    ``entity_lstm.py`` site) during gradient computation only
+    (inference never drops); masks are seeded per
+    (epoch, partition, chunk, sub-batch) so noise is independent
+    across the cluster yet bit-reproducible on re-run.
     ``train_chars``: unfreeze the char Bi-LSTM + char embeddings too
     (the reference trains them by default; its
     ``reload_character_embeddings`` flag freezes, like our default) —

@@ -126,15 +126,20 @@ def test_bptt_gradient_check():
             assert abs(num - g[ij]) <= 1e-5 * max(1.0, abs(num)), (name, ij, num, g[ij])
 
     # dropout path: gradients exact under a FIXED inverted-dropout mask
-    dmask = (rng.random((B, T, 200)) >= 0.5) / 0.5
+    # on the token-LSTM INPUT (reference site: token emb ++ char feat)
+    dmask = (rng.random((B, T, 150)) >= 0.5) / 0.5
 
     def loss_d(arr):
         ff_, _ = forward_features_cache(token_ids, char_feat, lengths, arr, dropout_mask=dmask)
         return float((ff_ * R).sum())
 
     _, cache_d = forward_features_cache(token_ids, char_feat, lengths, arrays64, dropout_mask=dmask)
-    grads_d, _ = backward_features(R, cache_d, arrays64)
-    for name in ("ff_W", "token_lstm_fw_U", "token_lstm_bw_W"):
+    grads_d, dx_d = backward_features(R, cache_d, arrays64)
+    # embedding grad must chain through the input mask (dx * mask)
+    d_emb_d = np.zeros_like(arrays64["token_emb"])
+    np.add.at(d_emb_d, token_ids.ravel(), dx_d[:, :, :100].reshape(-1, 100))
+    grads_d = dict(grads_d, token_emb=d_emb_d)
+    for name in ("ff_W", "token_lstm_fw_U", "token_lstm_bw_W", "token_emb"):
         g = grads_d[name]
         for fi in rng.choice(g.size, size=4, replace=False):
             ij = np.unravel_index(fi, g.shape)
