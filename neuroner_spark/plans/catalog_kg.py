@@ -194,19 +194,27 @@ SELECT doc_id, pos, surface_norm, CAST(entity_id AS BIGINT) AS entity_id, round(
 
 
 # --- rows-only: neural tagger + full pipeline -------------------------
+# feature-hashed vocab size for the driver's neural query: collect-free
+# (no driver-side vocabulary build at any scale); 2^16 rows keeps the
+# per-run broadcast at ~26 MB — at 10^12 docs you would size this up
+# (2^18+), same call site
+NEURAL_HASH_VOCAB = 1 << 16
+
+
 def q_neural_tag_spans(spark, sf_dir):
-    """BiLSTM-CRF tag the documents corpus with the seed-42 bundle and
-    extract conlleval spans — deterministic but not SQL-expressible."""
+    """BiLSTM-CRF tag the documents corpus with the seed-42
+    FEATURE-HASHED bundle and extract conlleval spans — deterministic
+    but not SQL-expressible (rows-only driver check; the value check is
+    the frozen order-insensitive golden hash in
+    ``tests/test_model.py::test_neural_tag_spans_golden_hash``).
+    Collect-free: tokens map to ``crc32 % (n-1) + 1`` executor-side,
+    so no vocabulary ever reaches the driver."""
     from neuroner_spark.model.tagger import tag_tokens
     from neuroner_spark.model.weights import make_bundle
     from neuroner_spark.operators.spans import extract_spans
 
     tokens = _mention_tokens(spark, sf_dir)
-    vocab_rows = (
-        tokens.groupBy("token").count().orderBy(F.desc("count"), "token").limit(50000).collect()
-    )
-    vocab = {r["token"]: i + 1 for i, r in enumerate(vocab_rows)}
-    bundle = make_bundle(vocab, seed=42)
+    bundle = make_bundle(NEURAL_HASH_VOCAB, seed=42)
     tagged = tag_tokens(spark, tokens, bundle)
     return extract_spans(tagged, label_col="label").select(
         "doc_id", "type", "start", "end", "n_tokens"

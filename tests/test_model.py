@@ -215,6 +215,25 @@ def test_hashed_vocab_mode(spark, tmp_path):
     assert b2["vocab"] is None and b2["vocab_size"] == 4096
 
 
+def test_neural_tag_spans_golden_hash(spark):
+    """The driver's rows-only neural query gains a VALUE check here: a
+    frozen order-insensitive hash of its full sf0.01 output (verified
+    identical across 4- and 8-core runs when frozen).  Also pins the
+    query's collect-free contract: hashed vocab, no driver-side
+    vocabulary build."""
+    from neuroner_spark.plans.catalog_kg import q_neural_tag_spans
+
+    df = q_neural_tag_spans(spark, "/root/testdata/sf0.01")
+    rows = sorted(
+        (r["doc_id"], r["type"], r["start"], r["end"], r["n_tokens"]) for r in df.collect()
+    )
+    assert len(rows) == 15597
+    digest = hashlib.md5(
+        "\n".join("|".join(map(str, r)) for r in rows).encode()
+    ).hexdigest()
+    assert digest == "1aaf2e64b60f9ada281711a0c2e8801f"
+
+
 def test_salted_repartition_defuses_giant_doc_skew(spark):
     """north_rule skew: one pathological doc (2000 sentences) must not
     hot-spot one partition after the salted repartition."""
