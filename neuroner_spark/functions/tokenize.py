@@ -4,9 +4,12 @@ Reference parity: ``src/brat_to_conll.py ::
 get_sentences_and_tokens_from_spacy`` (≈L20–45) emits, per document,
 sentences of tokens each carrying its char offset (`token.idx`).  The
 sandbox has no spaCy, and at 100 TB a C-extension NLP pipeline per row
-is the wrong shape anyway; we use a pinned, pure-regex tokenizer whose
-output is a deterministic function of the text bytes (the golden-file
-tests in tests/test_tokenize.py freeze it).
+is the wrong shape anyway; the default is a pinned, pure-regex
+tokenizer whose output is a deterministic function of the text bytes
+(golden-file-frozen), and a second real implementation —
+Treebank-style rules (``tokenize_text_treebank``) — ships behind the
+same seam, selectable by the reference's ``tokenizer`` INI name via
+``resolve_tokenizer``.
 
 Design for scale:
 - ONE Arrow-batched pandas UDF per document batch returning
@@ -63,6 +66,71 @@ def tokenize_text(text: str) -> list[tuple[int, int, str, int, int]]:
         else:
             pos += 1
     return out
+
+
+# --- second tokenizer behind the seam: Treebank-style rules ----------
+# Reimplemented from the published Penn Treebank tokenization
+# conventions (Marcus et al. 1993; the rule set behind
+# `tokenizer=stanford/spacy` in the reference INI): ellipses and
+# double-dashes are single tokens, letter-dot abbreviations (U.S.A.,
+# e.g.) stay whole, numbers keep internal ,.: separators, hyphenated
+# compounds stay joined, and clitic contractions split (do|n't, it|'s).
+# Offset-exact like the default tokenizer; same sentence contract.
+TREEBANK_RE = re.compile(
+    r"\.\.\.|--"
+    r"|(?:[^\W\d_]\.){2,}"  # U.S.A., e.g., i.e.
+    r"|\d+(?:[.,:]\d+)*"  # 1,234.56 / 12:30
+    r"|\w+(?:[-']\w+)*"  # words, hyphen/apostrophe compounds
+    r"|[^\w\s]",
+    re.UNICODE,
+)
+_CONTRACTION_RE = re.compile(r"(?i)(n't|'s|'re|'ve|'ll|'d|'m)$")
+
+
+def tokenize_text_treebank(text: str) -> list[tuple[int, int, str, int, int]]:
+    """Treebank-style tokenizer: text -> [(sent_id, pos, token, start,
+    end)].  Pure, deterministic, offset-exact (the P4 substring
+    invariant holds for every emitted token, including both halves of a
+    split contraction).  A letter-dot abbreviation token never ends a
+    sentence (so a true sentence ending in 'U.S.' won't split — the
+    documented Treebank trade-off)."""
+    out: list[tuple[int, int, str, int, int]] = []
+    sent_id = 0
+    pos = 0
+
+    def emit(tok: str, start: int, end: int) -> None:
+        nonlocal sent_id, pos
+        out.append((sent_id, pos, tok, start, end))
+        if tok in SENT_END:
+            sent_id += 1
+            pos = 0
+        else:
+            pos += 1
+
+    for m in TREEBANK_RE.finditer(text):
+        tok = m.group(0)
+        c = _CONTRACTION_RE.search(tok) if "'" in tok else None
+        if c and c.start() > 0:
+            emit(tok[: c.start()], m.start(), m.start() + c.start())
+            emit(tok[c.start() :], m.start() + c.start(), m.end())
+        else:
+            emit(tok, m.start(), m.end())
+    return out
+
+
+TOKENIZERS = {
+    # None = the pinned-regex vectorized fast path in tokenize()
+    "regex": None,
+    "treebank": tokenize_text_treebank,
+}
+
+
+def resolve_tokenizer(name: str):
+    """Reference ``tokenizer`` INI param -> tokenize_fn for
+    ``tokenize()`` (None selects the default fast path)."""
+    if name not in TOKENIZERS:
+        raise ValueError(f"unknown tokenizer {name!r}; known: {sorted(TOKENIZERS)}")
+    return TOKENIZERS[name]
 
 
 def _make_custom_batches(tokenize_fn):

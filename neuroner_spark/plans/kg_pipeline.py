@@ -295,6 +295,7 @@ def run_pipeline(
     bundle: dict | None = None,
     validate: bool = False,
     max_entities_per_doc: int = MAX_ENTITIES_PER_DOC,
+    tokenizer: str = "regex",
 ) -> dict:
     """Run all stages with checkpoint/resume; returns
     {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
@@ -318,8 +319,15 @@ def run_pipeline(
                 return cached
         return _write_stage(build(), out_dir, name, fp, lineage)
 
+    # reference `tokenizer` INI param: resolve the name to an injected
+    # fn (None = pinned-regex fast path); a tokenizer switch invalidates
+    # the token stage and everything downstream via the fingerprint
+    from neuroner_spark.functions.tokenize import resolve_tokenizer
+
+    tok_fn = resolve_tokenizer(tokenizer)
     norm = stage("normalized", fp_pages, lambda: normalize_pages(pages))
-    tokens = stage("tokens", fp_pages + "|tok", lambda: tokenize(norm))
+    fp_tok = fp_pages + f"|tok:{tokenizer}"
+    tokens = stage("tokens", fp_tok, lambda: tokenize(norm, tokenize_fn=tok_fn))
     # the mentions fingerprint flows into every downstream stage so a
     # gazetteer<->neural switch (or a retrained bundle) invalidates
     # linked/triples too, not just mentions
@@ -332,12 +340,12 @@ def run_pipeline(
         for name in sorted(bundle["arrays"]):
             h.update(name.encode())
             h.update(bundle["arrays"][name].tobytes())
-        fp_mentions = fp_pages + f"|neural:{bundle['vocab_size']}:{h.hexdigest()[:12]}"
+        fp_mentions = fp_tok + f"|neural:{bundle['vocab_size']}:{h.hexdigest()[:12]}"
         mentions = stage(
             "mentions", fp_mentions, lambda: neural_mentions(spark, tokens, bundle, validate=validate)
         )
     else:
-        fp_mentions = fp_pages + "|" + fp_alias + "|gaz"
+        fp_mentions = fp_tok + "|" + fp_alias + "|gaz"
         mentions = stage("mentions", fp_mentions, lambda: match_mentions(tokens, alias_dict))
     fp_linked = fp_mentions + "|" + fp_alias + f"|link:fuzzy={use_fuzzy}"
     linked = stage(

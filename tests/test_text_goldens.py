@@ -43,6 +43,48 @@ def test_html_extraction_consistent_with_text(spark):
         assert r["text_from_html"] == re.sub(r"\s+", " ", r["text"]).strip()
 
 
+# --- second tokenizer behind the seam: Treebank-style rules ------------
+def test_treebank_tokenizer(spark):
+    """tokenize_text_treebank: contraction splits, whole abbreviations,
+    numbers with separators, hyphen compounds — all offset-exact, and
+    selectable by INI name via resolve_tokenizer."""
+    import pytest
+
+    from neuroner_spark.functions.tokenize import (
+        resolve_tokenizer,
+        tokenize,
+        tokenize_text,
+        tokenize_text_treebank,
+    )
+
+    text = "Don't buy state-of-the-art U.S.A. gear for 1,234.56 dollars. Wait... it's cheap!"
+    toks = tokenize_text_treebank(text)
+    surfaces = [t[2] for t in toks]
+    assert surfaces == [
+        "Do", "n't", "buy", "state-of-the-art", "U.S.A.", "gear", "for",
+        "1,234.56", "dollars", ".", "Wait", "...", "it", "'s", "cheap", "!",
+    ]
+    # offset invariant holds for every token incl. split contractions
+    assert all(text[s:e] == tok for _, _, tok, s, e in toks)
+    # '.' ends the sentence; the U.S.A. abbreviation does not
+    sent_of = {t[2]: t[0] for t in toks}
+    assert sent_of["U.S.A."] == 0 and sent_of["Wait"] == 1
+    # the default tokenizer treats the same text very differently
+    assert "n't" not in [t[2] for t in tokenize_text(text)]
+    # INI-name resolution + the Spark seam end-to-end
+    assert resolve_tokenizer("regex") is None
+    assert resolve_tokenizer("treebank") is tokenize_text_treebank
+    with pytest.raises(ValueError):
+        resolve_tokenizer("stanford-not-installed")
+    docs = spark.createDataFrame([("d1", "Don't stop.")], "doc_id string, text string")
+    rows = sorted(
+        tokenize(docs, tokenize_fn=tokenize_text_treebank).collect(),
+        key=lambda r: (r["sent_id"], r["pos"]),
+    )
+    assert [r["token"] for r in rows] == ["Do", "n't", "stop", "."]
+    assert [(r["start"], r["end"]) for r in rows] == [(0, 2), (2, 5), (6, 10), (10, 11)]
+
+
 # --- pluggable tokenizer seam (reference `tokenizer` INI param) --------
 def test_pluggable_tokenizer_seam(spark):
     from neuroner_spark.functions.tokenize import tokenize
