@@ -226,14 +226,25 @@ def triples_from_linked(
     a = m.select("doc_id", "sent_id", F.col("pos").alias("pos_a"), F.col("ent").alias("subj"))
     b = m.select("doc_id", "sent_id", F.col("pos").alias("pos_b"), F.col("ent").alias("obj"))
     sent_pairs = a.join(b, ["doc_id", "sent_id"]).filter(F.col("subj") < F.col("obj"))
-    same_sent = sent_pairs.select("doc_id", "subj", "obj").distinct().withColumn(
-        "pred", F.lit("same_sentence_as")
-    )
-    near = (
-        sent_pairs.filter(F.abs(F.col("pos_a") - F.col("pos_b")) <= NEAR_WINDOW)
-        .select("doc_id", "subj", "obj")
-        .distinct()
-        .withColumn("pred", F.lit("near"))
+    # ONE aggregation over the pair set yields BOTH sentence-level
+    # predicates: same_sentence_as = the group exists, near = any
+    # occurrence within the window (min gap).  The pair set is the
+    # biggest intermediate in the pipeline — two separate distinct()s
+    # would shuffle it twice
+    sent_preds = (
+        sent_pairs.groupBy("doc_id", "subj", "obj")
+        .agg(F.min(F.abs(F.col("pos_a") - F.col("pos_b"))).alias("_min_gap"))
+        .select(
+            "doc_id",
+            "subj",
+            "obj",
+            F.explode(
+                F.when(
+                    F.col("_min_gap") <= NEAR_WINDOW,
+                    F.array(F.lit("same_sentence_as"), F.lit("near")),
+                ).otherwise(F.array(F.lit("same_sentence_as")))
+            ).alias("pred"),
+        )
     )
     da = m.select("doc_id", F.col("ent").alias("subj")).distinct()
     db = m.select("doc_id", F.col("ent").alias("obj")).distinct()
@@ -253,7 +264,7 @@ def triples_from_linked(
         .select("doc_id", "subj", "obj")
         .withColumn("pred", F.lit("co_occurs_with"))
     )
-    trip = same_sent.unionByName(near).unionByName(co_doc)
+    trip = sent_preds.unionByName(co_doc)
     meta = pages_meta.select(F.col("url").alias("doc_id"), "warc_ts")
     return trip.join(meta, "doc_id").select(
         "subj", "pred", "obj", F.col("doc_id").alias("url"), "warc_ts"
