@@ -246,8 +246,12 @@ def triples_from_linked(
             ).alias("pred"),
         )
     )
-    da = m.select("doc_id", F.col("ent").alias("subj")).distinct()
-    db = m.select("doc_id", F.col("ent").alias("obj")).distinct()
+    # one distinct, renamed per side after the agg — the join inputs
+    # and the ok_docs count below share the aggregation subtree
+    # (Catalyst exchange reuse keys on the canonicalized plan)
+    de = m.select("doc_id", "ent").distinct()
+    da = de.select("doc_id", F.col("ent").alias("subj"))
+    db = de.select("doc_id", F.col("ent").alias("obj"))
     # skew guard: filtering ONE side of the self-join is enough to kill
     # the quadratic output (the other side's rows dangle and drop),
     # and ships only linear rows for capped docs through the shuffle
