@@ -275,6 +275,49 @@ def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", tex
     )
 
 
+def benchmark_contamination(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    flag_threshold: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Training-set decontamination (GPT-3 appendix C / PaLM style):
+    flag corpus docs sharing word-``n``-grams with a benchmark/eval
+    set.  Output: (doc_id, n_shingles, n_contaminated,
+    contaminated_frac, flagged) — one row per doc, including docs too
+    short to shingle (no silent drop past the gate).
+
+    Plan: the benchmark is the SMALL side by construction (eval sets
+    are thousands of docs; the corpus is the 10^12 side), so its
+    distinct shingle set broadcasts and the corpus-side check is one
+    broadcast semi join on the exploded shingles — no shuffle of the
+    corpus beyond the per-doc count agg."""
+    corpus_sh = shingles(docs, n, id_col, text_col, fast_hash)
+    bench_sh = shingles(benchmark, n, "doc_id", bench_text_col, fast_hash).select(
+        "shingle_hash"
+    ).distinct()
+    hits = corpus_sh.join(F.broadcast(bench_sh), "shingle_hash", "left_semi")
+    per_doc = corpus_sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    dirty = hits.groupBy("doc_id").agg(F.count("*").alias("n_contaminated"))
+    all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    frac = F.coalesce("n_contaminated", F.lit(0)) / F.coalesce("n_shingles", F.lit(1))
+    return (
+        all_docs.join(per_doc, "doc_id", "left")
+        .join(dirty, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce("n_contaminated", F.lit(0)).cast("long").alias("n_contaminated"),
+            F.round(frac, 6).alias("contaminated_frac"),
+            (frac > flag_threshold).alias("flagged"),
+        )
+    )
+
+
 def duplicated_spans(
     docs: DataFrame,
     n_sents: int = 3,

@@ -170,6 +170,30 @@ def test_duplicated_spans_c4_style(spark):
     assert 0 < out[0]["dup_span_frac"] <= 1.0
 
 
+def test_benchmark_contamination(spark):
+    """Decontamination: a doc embedding a benchmark sentence is
+    flagged; clean docs score zero; short docs still get a row."""
+    from neuroner_spark.operators.dedup import benchmark_contamination
+
+    bench = spark.createDataFrame(
+        [(0, "the capital of france is paris and it sits on the seine")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (0, "quiz answer: the capital of france is paris and it sits on the seine river today"),
+            (1, "a totally unrelated document about spark shuffles and joins in the engine"),
+            (2, "tiny"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in benchmark_contamination(docs, bench, n=5).collect()}
+    assert out[0]["flagged"] is True and out[0]["n_contaminated"] > 0
+    assert out[1]["flagged"] is False and out[1]["n_contaminated"] == 0
+    assert out[2]["n_shingles"] == 0 and out[2]["flagged"] is False
+    assert 0 < out[0]["contaminated_frac"] <= 1.0
+
+
 def test_minhash_hot_bucket_cap_bounds_pairs(spark):
     """A giant duplicate cluster (the web's boilerplate case) must not
     emit quadratic pairs: over-cap band buckets route to the
