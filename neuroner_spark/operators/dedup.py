@@ -188,6 +188,29 @@ def _capped_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None, 
     return kept, giants
 
 
+def band_pairs_from_banded(banded: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+    """Pairs from a precomputed (doc_id, band_id, band_hash) frame —
+    the shared-scan entry point: a caller wanting pairs AND giant
+    buckets computes ``minhash_banded`` once (cache/checkpoint it) and
+    derives both, instead of re-scanning the corpus per output."""
+    kept, _ = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
+    a = kept.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
+    b = kept.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
+    return (
+        a.join(b, ["band_id", "band_hash"])
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_bands_matched"))
+    )
+
+
+def giant_buckets_from_banded(banded: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+    """Giant-bucket side output from a precomputed banded frame.
+    Output: (band_id, band_hash, n_docs, keep_id)."""
+    _, giants = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
+    return giants
+
+
 def minhash_band_pairs(
     docs: DataFrame,
     n: int = 3,
@@ -202,17 +225,11 @@ def minhash_band_pairs(
 
     Buckets larger than ``max_bucket`` are NOT paired (quadratic
     blow-up guard — see ``_capped_buckets``); recover them with
-    ``minhash_giant_buckets`` on the same inputs."""
+    ``minhash_giant_buckets``, or use ``minhash_banded`` +
+    ``band_pairs_from_banded``/``giant_buckets_from_banded`` to derive
+    both from ONE corpus scan."""
     banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash)
-    kept, _ = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
-    a = kept.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
-    b = kept.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
-    return (
-        a.join(b, ["band_id", "band_hash"])
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").alias("n_bands_matched"))
-    )
+    return band_pairs_from_banded(banded, max_bucket)
 
 
 def minhash_giant_buckets(
@@ -228,8 +245,7 @@ def minhash_giant_buckets(
     buckets as whole duplicate clusters.
     Output: (band_id, band_hash, n_docs, keep_id)."""
     banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash)
-    _, giants = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
-    return giants
+    return giant_buckets_from_banded(banded, max_bucket)
 
 
 def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:

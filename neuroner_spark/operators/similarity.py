@@ -161,8 +161,11 @@ def lsh_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, tabl
     return embeddings.select("vec_id", sig.alias("sig"))
 
 
-def _lsh_all_signatures(embeddings: DataFrame, n_planes: int, dim: int, n_tables: int) -> DataFrame:
-    """(vec_id, table, sig) across ``n_tables`` independent tables."""
+def lsh_all_signatures(embeddings: DataFrame, n_planes: int = 8, dim: int = 64, n_tables: int = 4) -> DataFrame:
+    """(vec_id, table, sig) across ``n_tables`` independent tables —
+    the shared-scan entry point: compute once (cache/checkpoint), then
+    derive pairs (``lsh_pairs_from_signatures``) AND giant buckets
+    (``lsh_giants_from_signatures``) without re-scanning the corpus."""
     emb = embeddings.select("vec_id", "embedding")
     sigs = None
     for t in range(n_tables):
@@ -189,15 +192,11 @@ def lsh_bucket_pairs(
     quadratic in bucket size, and a boilerplate near-dup cluster of
     10^6 vectors would otherwise emit 10^11 pairs from one bucket.
     Recover over-cap buckets (each IS a near-dup cluster) with
-    ``lsh_giant_buckets`` on the same inputs."""
-    from neuroner_spark.operators.dedup import _capped_buckets
-
+    ``lsh_giant_buckets``, or share one signature scan via
+    ``lsh_all_signatures`` + the ``*_from_signatures`` forms."""
     emb = embeddings.select("vec_id", "embedding")
-    sigs = _lsh_all_signatures(embeddings, n_planes, dim, n_tables)
-    kept, _ = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
-    a = kept.select(F.col("vec_id").alias("a"), "table", "sig")
-    b = kept.select(F.col("vec_id").alias("b"), "table", "sig")
-    cand = a.join(b, ["table", "sig"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+    sigs = lsh_all_signatures(embeddings, n_planes, dim, n_tables)
+    cand = lsh_pairs_from_signatures(sigs, max_bucket)
     ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
     eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
     return (
@@ -206,6 +205,26 @@ def lsh_bucket_pairs(
         .select("a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= min_cos)
     )
+
+
+def lsh_pairs_from_signatures(sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+    """Distinct candidate (a, b) pairs from a precomputed
+    (vec_id, table, sig) frame, hot buckets capped."""
+    from neuroner_spark.operators.dedup import _capped_buckets
+
+    kept, _ = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
+    a = kept.select(F.col("vec_id").alias("a"), "table", "sig")
+    b = kept.select(F.col("vec_id").alias("b"), "table", "sig")
+    return a.join(b, ["table", "sig"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
+
+
+def lsh_giants_from_signatures(sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+    """Giant-bucket side output from a precomputed signature frame.
+    Output: (table, sig, n_docs, keep_id)."""
+    from neuroner_spark.operators.dedup import _capped_buckets
+
+    _, giants = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
+    return giants
 
 
 def lsh_giant_buckets(
@@ -218,8 +237,5 @@ def lsh_giant_buckets(
     """Side output for ``lsh_bucket_pairs``' cap: the over-cap buckets
     as whole near-dup clusters.
     Output: (table, sig, n_docs, keep_id)."""
-    from neuroner_spark.operators.dedup import _capped_buckets
-
-    sigs = _lsh_all_signatures(embeddings, n_planes, dim, n_tables)
-    _, giants = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
-    return giants
+    sigs = lsh_all_signatures(embeddings, n_planes, dim, n_tables)
+    return lsh_giants_from_signatures(sigs, max_bucket)

@@ -218,6 +218,16 @@ def test_minhash_hot_bucket_cap_bounds_pairs(spark):
     assert all(g["n_docs"] >= n_clones and g["keep_id"] == 0 for g in giants)
     # cap=None restores the uncapped semantics (schema-only empty giants)
     assert minhash_giant_buckets(docs, max_bucket=None).count() == 0
+    # shared-scan forms: one banded frame serves BOTH outputs
+    from neuroner_spark.operators.dedup import (
+        band_pairs_from_banded,
+        giant_buckets_from_banded,
+        minhash_banded,
+    )
+
+    bd = minhash_banded(docs).localCheckpoint()
+    assert band_pairs_from_banded(bd, max_bucket=100).count() == len(pairs)
+    assert giant_buckets_from_banded(bd, max_bucket=100).count() == len(giants)
 
 
 def test_lsh_hot_bucket_cap_bounds_pairs(spark):
