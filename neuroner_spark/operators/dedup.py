@@ -252,33 +252,29 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     """SimHash over whitespace tokens: per bit, sign of the sum of
     (2*bit-1) across token hashes. Output: (doc_id, simhash:long).
 
-    Shape: tokens -> explode bits (docs × tokens × bits rows, bits is
-    small) -> one groupBy(doc). All JVM-side.
+    Shape: one token explode, then ONE groupBy computing all ``bits``
+    bit-sums as separate map-side-combined aggregates — the shuffle
+    carries ``bits`` longs per doc, not docs × tokens × bits exploded
+    rows (the previous shape; 16x the shuffle volume at web scale).
+    All JVM-side.
     """
     toks = docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(ws_tokens(F.lower(F.col(text_col)))).alias("token"),
     ).select("doc_id", hash64(F.col("token"), fast=fast_hash).alias("th"))
-    bit_ids = F.sequence(F.lit(0), F.lit(bits - 1))
-    per_bit = toks.select(
-        "doc_id",
-        F.explode(bit_ids).alias("bit"),
-        F.col("th"),
-    ).select(
-        "doc_id",
-        "bit",
-        (F.expr("shiftright(th, bit)").bitwiseAND(F.lit(1)) * 2 - 1).alias("contrib"),
-    )
-    return (
-        per_bit.groupBy("doc_id", "bit")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(F.col("s") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(F.lit(0))
-            ).alias("simhash")
+    bit_sums = [
+        F.sum(
+            F.expr(f"shiftright(th, {b})").bitwiseAND(F.lit(1)) * 2 - 1
+        ).alias(f"_s{b}")
+        for b in range(bits)
+    ]
+    per_doc = toks.groupBy("doc_id").agg(*bit_sums)
+    sim = F.lit(0).cast("long")
+    for b in range(bits):
+        sim = sim + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
         )
-    )
+    return per_doc.select("doc_id", sim.alias("simhash"))
 
 
 def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: str = "text", fast_hash: bool = False) -> DataFrame:
