@@ -38,6 +38,26 @@ def test_tokenize_covers_every_non_space_char(text):
 
 @settings(max_examples=300, deadline=None)
 @given(texts)
+def test_treebank_tokenize_offsets_and_order(text):
+    """The second tokenizer honors the same contracts as the default:
+    offset-exact tokens, monotone (sent_id, pos) numbering."""
+    from neuroner_spark.functions.tokenize import tokenize_text_treebank
+
+    toks = tokenize_text_treebank(text)
+    prev_sid, prev_pos = 0, -1
+    for sid, pos, tok, s, e in toks:
+        assert text[s:e] == tok
+        assert tok  # never empty (a zero-width contraction split would be a bug)
+        assert sid >= prev_sid
+        if sid == prev_sid:
+            assert pos == prev_pos + 1
+        else:
+            assert pos == 0
+        prev_sid, prev_pos = sid, pos
+
+
+@settings(max_examples=300, deadline=None)
+@given(texts)
 def test_tokenize_sentence_and_pos_monotone(text):
     toks = tokenize_text(text)
     prev_sid, prev_pos = 0, -1
