@@ -140,16 +140,21 @@ def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> Data
     component).
 
     The alias dictionary is the broadcast-SMALL side by contract, so
-    the default path is a driver union-find over the collected edge
-    list: the iterative large-star/small-star loop costs several Spark
-    jobs of scheduler latency per round — measured ~2.7 s for an
-    11-row result at sf0.1 — for an O(|aliases|) problem.  Graphs
-    above ``small_threshold`` edges fall back to the distributed
-    ``connected_components`` (same min-id semantics, oracle-checked)."""
-    edges = sameas_edges_from_aliases(alias_dict)
+    the default path collects the (alias_norm, entity_id) rows in ONE
+    job and does the whole thing driver-side — grouping, union-find,
+    and the singleton fill — returning one broadcast createDataFrame.
+    (The previous shape built the edge set as a Spark shuffle plus a
+    separate distinct+join for singletons: ~0.9 s of scheduler latency
+    for a 12-row dictionary at sf0.1.)  Dictionaries above
+    ``small_threshold`` rows fall back to the distributed
+    ``connected_components`` over the same-as edges (same min-id
+    semantics, oracle-checked)."""
     spark = alias_dict.sparkSession
-    rows = edges.limit(small_threshold + 1).collect()
+    rows = alias_dict.select("alias_norm", "entity_id").limit(small_threshold + 1).collect()
     if len(rows) <= small_threshold:
+        groups: dict[str, set[int]] = {}
+        for r in rows:
+            groups.setdefault(r["alias_norm"], set()).add(int(r["entity_id"]))
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -158,25 +163,35 @@ def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> Data
                 x = parent[x]
             return x
 
-        for r in rows:
-            a, b = find(int(r["src"])), find(int(r["dst"]))
-            if a != b:
-                parent[max(a, b)] = min(a, b)
+        # same edge semantics as sameas_edges_from_aliases: each entity
+        # of an alias group unions with the group minimum
+        for ents in groups.values():
+            if len(ents) < 2:
+                continue
+            root = min(ents)
+            for e in ents:
+                a, b = find(root), find(e)
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
         comp_min: dict[int, int] = {}
         for node in list(parent):
-            root = find(node)
-            comp_min[root] = min(comp_min.get(root, node), node)
-        mapping = [(node, comp_min[find(node)]) for node in parent]
+            r = find(node)
+            comp_min[r] = min(comp_min.get(r, node), node)
+        all_ids = sorted({int(r["entity_id"]) for r in rows})
+        mapping = [
+            (eid, comp_min[find(eid)] if eid in parent else eid) for eid in all_ids
+        ]
         comp = spark.createDataFrame(
             mapping or [(None, None)], "entity_id long, canonical_id long"
         ).filter(F.col("entity_id").isNotNull())
-        comp = F.broadcast(comp)  # bounded by small_threshold — safe to ship
-    else:  # pragma: no cover - exercised via connected_components oracle
-        # NO broadcast hint here: the distributed fallback exists for
-        # component maps too big for the driver/executor memory
-        comp = connected_components(edges).select(
-            F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
-        )
+        return F.broadcast(comp)  # bounded by small_threshold — safe to ship
+    # pragma: no cover - exercised via connected_components oracle
+    # NO broadcast hint here: the distributed fallback exists for
+    # component maps too big for the driver/executor memory
+    edges = sameas_edges_from_aliases(alias_dict)
+    comp = connected_components(edges).select(
+        F.col("node").alias("entity_id"), F.col("component").alias("canonical_id")
+    )
     all_ents = alias_dict.select("entity_id").distinct()
     return all_ents.join(comp, "entity_id", "left").select(
         "entity_id", F.coalesce("canonical_id", F.col("entity_id")).alias("canonical_id")
