@@ -141,3 +141,89 @@ def token_accuracy(tokens: DataFrame, gold_col: str = "gold", pred_col: str = "p
         F.round(F.avg((F.col(gold_col) == F.col(pred_col)).cast("double")), 6).alias("accuracy"),
         F.count("*").alias("n_tokens"),
     )
+
+
+# --- F5: conlleval report format (render + parse) ----------------------
+# The reference shells out to the Perl conlleval script and PARSES its
+# text report (src/evaluate.py :: remap_labels / conll output handling).
+# A5 above computes the metrics natively; these two functions close the
+# format loop: render our frames into the canonical conlleval report,
+# and parse any stored conlleval report (e.g. the reference's archived
+# eval logs) back into rows for frame-level comparison.
+
+def render_conlleval_report(f1_rows: list, accuracy: float, n_tokens: int) -> str:
+    """Rows from ``conlleval_f1`` (dicts/Rows with type/tp/fp/fn/
+    precision/recall/f1) + ``token_accuracy`` -> the canonical
+    conlleval text report (same layout the Perl script prints)."""
+    by_type = {r["type"]: r for r in f1_rows}
+    overall = by_type.pop("ALL")
+    n_gold = int(overall["tp"] + overall["fn"])
+    n_found = int(overall["tp"] + overall["fp"])
+    lines = [
+        f"processed {n_tokens} tokens with {n_gold} phrases; "
+        f"found: {n_found} phrases; correct: {int(overall['tp'])}.",
+        (
+            f"accuracy: {100 * accuracy:6.2f}%; "
+            f"precision: {100 * overall['precision']:6.2f}%; "
+            f"recall: {100 * overall['recall']:6.2f}%; "
+            f"FB1: {100 * overall['f1']:6.2f}"
+        ),
+    ]
+    for t in sorted(by_type):
+        r = by_type[t]
+        found = int(r["tp"] + r["fp"])
+        lines.append(
+            f"{t:>17}: "
+            f"precision: {100 * r['precision']:6.2f}%; "
+            f"recall: {100 * r['recall']:6.2f}%; "
+            f"FB1: {100 * r['f1']:6.2f}  {found}"
+        )
+    return "\n".join(lines) + "\n"
+
+
+def parse_conlleval_report(text: str) -> dict:
+    """Parse a conlleval text report (ours or the Perl script's) ->
+    {'n_tokens', 'n_phrases', 'n_found', 'n_correct', 'accuracy',
+    'types': {type: {'precision', 'recall', 'f1', 'found'}}, plus an
+    'ALL' entry in types}.  Percentages return as fractions."""
+    import re as _re
+
+    header = _re.search(
+        r"processed\s+(\d+)\s+tokens\s+with\s+(\d+)\s+phrases;\s*"
+        r"found:\s*(\d+)\s+phrases;\s*correct:\s*(\d+)",
+        text,
+    )
+    if not header:
+        raise ValueError("not a conlleval report: missing 'processed ... tokens' header")
+    out = {
+        "n_tokens": int(header.group(1)),
+        "n_phrases": int(header.group(2)),
+        "n_found": int(header.group(3)),
+        "n_correct": int(header.group(4)),
+        "types": {},
+    }
+    acc = _re.search(r"accuracy:\s*([\d.]+)%", text)
+    out["accuracy"] = round(float(acc.group(1)) / 100.0, 6) if acc else None
+    line_re = _re.compile(
+        r"^\s*(?:(\S+):\s*)?precision:\s*([\d.]+)%;\s*recall:\s*([\d.]+)%;\s*"
+        r"FB1:\s*([\d.]+)(?:\s+(\d+))?\s*$"
+    )
+    for line in text.splitlines():
+        # the overall line carries accuracy before precision; per-type
+        # lines lead with the type name
+        stripped = (
+            _re.sub(r"^.*accuracy:\s*[\d.]+%;\s*", "", line)
+            if "accuracy:" in line
+            else line
+        )
+        m = line_re.match(stripped)
+        if not m:
+            continue
+        name = m.group(1) or "ALL"
+        out["types"][name] = {
+            "precision": round(float(m.group(2)) / 100.0, 6),
+            "recall": round(float(m.group(3)) / 100.0, 6),
+            "f1": round(float(m.group(4)) / 100.0, 6),
+            "found": int(m.group(5)) if m.group(5) else None,
+        }
+    return out

@@ -12,6 +12,9 @@ the same tree from the distributed trainer:
       predictions/valid_conll/ CoNLL text render of the same (K1 golden)
       metrics/                 conlleval F1 table, parquet (K3)
       results.json             history + best epoch + final F1s (K3)
+      results_conlleval.txt    canonical conlleval text report (F5)
+      tensorboard/             TB scalar event file, loss/valid-F1
+                               per epoch (K5, dependency-free writer)
 """
 
 from __future__ import annotations
@@ -79,4 +82,18 @@ def run_training_run(
     }
     with open(os.path.join(out_dir, "results.json"), "w") as f:
         json.dump(results, f, indent=1)
+
+    # F5: canonical conlleval text report (what the reference's Perl
+    # script would print for this eval, parse-roundtrip-tested)
+    from neuroner_spark.operators.metrics import render_conlleval_report, token_accuracy
+
+    acc = token_accuracy(preds, "gold", "pred").collect()[0]
+    with open(os.path.join(out_dir, "results_conlleval.txt"), "w") as f:
+        f.write(render_conlleval_report(list(f1_rows.values()), acc["accuracy"], acc["n_tokens"]))
+
+    # K5: TensorBoard scalars (loss + valid F1 per epoch) — stock
+    # TensorBoard loads this directory; writer is dependency-free
+    from neuroner_spark.sources.tbevents import write_training_summaries
+
+    write_training_summaries(res["history"], os.path.join(out_dir, "tensorboard"))
     return dict(res, valid_f1=results["valid_f1"], out_dir=out_dir)

@@ -178,6 +178,54 @@ def test_conlleval_f1_parity_random(spark):
         assert gf1 == pytest.approx(f1, abs=1e-6)
 
 
+def test_conlleval_report_render_parse_roundtrip(spark):
+    """F5: the conlleval TEXT report format — render our metrics into
+    the canonical layout, parse it back, values round-trip; and parse
+    a verbatim report as the Perl script prints it (the published
+    conlleval example), proving reference-log compatibility."""
+    from neuroner_spark.operators.metrics import (
+        conlleval_f1,
+        parse_conlleval_report,
+        render_conlleval_report,
+        token_accuracy,
+    )
+
+    rng = np.random.default_rng(7)
+    gold = [random_label_seq(rng, int(rng.integers(1, 20))) for _ in range(60)]
+    pred = [["O" if rng.random() < 0.15 else lab for lab in labels] for labels in gold]
+    df = _tokens_df(spark, gold, pred)
+    f1_rows = [r.asDict() for r in conlleval_f1(df).collect()]
+    acc_row = token_accuracy(df).collect()[0]
+    report = render_conlleval_report(f1_rows, acc_row["accuracy"], acc_row["n_tokens"])
+    parsed = parse_conlleval_report(report)
+    assert parsed["n_tokens"] == acc_row["n_tokens"]
+    assert parsed["accuracy"] == pytest.approx(acc_row["accuracy"], abs=5e-5)
+    by_type = {r["type"]: r for r in f1_rows}
+    assert parsed["n_phrases"] == by_type["ALL"]["tp"] + by_type["ALL"]["fn"]
+    assert parsed["n_correct"] == by_type["ALL"]["tp"]
+    for t, want in by_type.items():
+        got = parsed["types"][t]
+        # report prints 2 decimals of percent -> 5e-5 fraction tolerance
+        assert got["precision"] == pytest.approx(want["precision"], abs=5e-5), t
+        assert got["recall"] == pytest.approx(want["recall"], abs=5e-5), t
+        assert got["f1"] == pytest.approx(want["f1"], abs=5e-5), t
+    # verbatim Perl-script output (canonical conlleval example layout)
+    perl = (
+        "processed 47377 tokens with 5942 phrases; "
+        "found: 5798 phrases; correct: 5131.\n"
+        "accuracy:  97.01%; precision:  88.50%; recall:  86.35%; FB1:  87.41\n"
+        "              LOC: precision:  91.52%; recall:  90.67%; FB1:  91.09  1819\n"
+        "             MISC: precision:  79.10%; recall:  76.69%; FB1:  77.88  894\n"
+    )
+    p2 = parse_conlleval_report(perl)
+    assert p2["n_tokens"] == 47377 and p2["n_correct"] == 5131
+    assert p2["types"]["ALL"]["f1"] == pytest.approx(0.8741, abs=1e-6)
+    assert p2["types"]["LOC"]["found"] == 1819
+    assert p2["types"]["MISC"]["precision"] == pytest.approx(0.791, abs=1e-6)
+    with pytest.raises(ValueError):
+        parse_conlleval_report("not a report")
+
+
 def test_assign_sequential_ids_matches_global_window(spark):
     """Property: two-phase id assignment == row_number() over a global
     window, on skewed random data with heavy ties on the first key."""

@@ -35,6 +35,36 @@ def test_conll_roundtrip(spark, tmp_path):
     assert a == b
 
 
+def test_tbevents_format_and_roundtrip(tmp_path):
+    """K5 writer: CRC32C matches the public test vectors, records
+    round-trip through the CRC-verified reader, and corruption is
+    detected — i.e. the file is genuinely TFRecord/event-proto shaped,
+    not a bespoke format."""
+    from neuroner_spark.sources.tbevents import crc32c, read_tb_events, write_tb_events
+
+    # public CRC32C vectors (RFC 3720 B.4)
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+    assert crc32c(b"") == 0
+    p = write_tb_events(
+        str(tmp_path / "tb"),
+        [(0, "train/loss", 1.5), (3, "valid/f1", 0.875)],
+        wall_time=42.0,
+    )
+    events = read_tb_events(p)
+    assert events[0]["file_version"] == "brain.Event:2"
+    assert events[0]["wall_time"] == 42.0
+    assert events[1]["step"] == 0 and events[1]["scalars"] == {"train/loss": 1.5}
+    assert events[2]["step"] == 3 and events[2]["scalars"] == {"valid/f1": 0.875}
+    # flip one payload byte -> CRC verification must refuse
+    blob = bytearray(open(p, "rb").read())
+    blob[20] ^= 0xFF
+    bad = tmp_path / "tb" / "corrupt"
+    bad.write_bytes(bytes(blob))
+    with pytest.raises(ValueError):
+        read_tb_events(str(bad))
+
+
 def test_conll_file_size_guard(spark, tmp_path):
     """wholetext = one task + one JVM string per file, so oversized
     files must fail loudly with a pointer to the parquet path."""

@@ -3,6 +3,7 @@ accuracy beats the untrained head, early stopping and checkpoints work."""
 
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from neuroner_spark.functions.tags import with_bioes
@@ -369,6 +370,24 @@ def test_training_run_output_tree(spark, tmp_path):
 
     back = read_conll(spark, os.path.join(out, "predictions", "valid_conll"))
     assert back.count() == valid.count()
+    # F5: canonical conlleval text report, parse-verified against results.json
+    from neuroner_spark.operators.metrics import parse_conlleval_report
+
+    with open(os.path.join(out, "results_conlleval.txt")) as f:
+        report = parse_conlleval_report(f.read())
+    assert report["types"]["ALL"]["f1"] == pytest.approx(results["valid_f1"], abs=5e-5)
+    # K5: TensorBoard event file with per-epoch loss scalars (CRC-verified read)
+    from neuroner_spark.sources.tbevents import read_tb_events
+
+    tb_dir = os.path.join(out, "tensorboard")
+    tb_files = [os.path.join(tb_dir, n) for n in os.listdir(tb_dir)]
+    assert len(tb_files) == 1 and "tfevents" in tb_files[0]
+    events = read_tb_events(tb_files[0])
+    assert events[0]["file_version"] == "brain.Event:2"
+    losses = {e["step"]: e["scalars"]["train/loss"] for e in events if "train/loss" in e["scalars"]}
+    assert set(losses) == {0, 1}
+    for h in results["history"]:
+        assert losses[h["epoch"]] == pytest.approx(h["loss"], rel=1e-6)
 
 
 def test_sparse_embedding_gradient_rows(spark):
