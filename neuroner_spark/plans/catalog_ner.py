@@ -330,14 +330,45 @@ SELECT {_PRF_MEASURES}, 'binary' AS mode FROM per_cls_b
 
 
 def q_token_accuracy(spark, sf_dir):
-    return token_accuracy(pseudo_tokens(spark, sf_dir), "gold", "pred")
+    """A6 + A7 tagged into one scalar frame (metric, value) — merged
+    per the <=50-entry driver budget: token accuracy over the pseudo
+    corpus and the char-padding probe (max token length / token count)
+    over the documents corpus."""
+    from pyspark.sql import functions as F
+
+    acc = token_accuracy(pseudo_tokens(spark, sf_dir), "gold", "pred")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+    a7 = toks.agg(
+        F.max(F.length("token")).cast("double").alias("max_tok_len"),
+        F.count("*").cast("double").alias("doc_n_tokens"),
+    )
+    return (
+        acc.select(F.lit("token_accuracy").alias("metric"), F.col("accuracy").cast("double").alias("value"))
+        .unionByName(acc.select(F.lit("ner_n_tokens").alias("metric"), F.col("n_tokens").cast("double").alias("value")))
+        .unionByName(a7.select(F.lit("max_tok_len").alias("metric"), F.col("max_tok_len").alias("value")))
+        .unionByName(a7.select(F.lit("doc_n_tokens").alias("metric"), F.col("doc_n_tokens").alias("value")))
+    )
 
 
 SQL_TOKEN_ACCURACY = f"""
-WITH {PSEUDO_TOKENS_CTE}
-SELECT round(avg(CASE WHEN gold = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
-       count(*) AS n_tokens
-FROM labeled
+WITH {PSEUDO_TOKENS_CTE},
+acc AS (
+  SELECT round(avg(CASE WHEN gold = pred THEN 1.0 ELSE 0.0 END), 6) AS accuracy,
+         count(*) AS n_tokens
+  FROM labeled
+), a7 AS (
+  SELECT CAST(max(length(token)) AS DOUBLE) AS max_tok_len,
+         CAST(count(*) AS DOUBLE) AS doc_n_tokens
+  FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+)
+SELECT 'token_accuracy' AS metric, accuracy AS value FROM acc
+UNION ALL
+SELECT 'ner_n_tokens', CAST(n_tokens AS DOUBLE) FROM acc
+UNION ALL
+SELECT 'max_tok_len', max_tok_len FROM a7
+UNION ALL
+SELECT 'doc_n_tokens', doc_n_tokens FROM a7
 """
 
 

@@ -661,27 +661,14 @@ SELECT DISTINCT token FROM (
 """
 
 
-# --- A7: max token length (char-padding dimension probe)
-def q_max_token_len(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
-    return toks.agg(
-        F.max(F.length("token")).cast("long").alias("max_tok_len"),
-        F.count("*").alias("n_tokens"),
-    )
-
-
-SQL_MAX_TOKEN_LEN = """
-SELECT max(length(token)) AS max_tok_len, count(*) AS n_tokens FROM (
-  SELECT unnest(string_split(text, ' ')) AS token FROM documents
-)
-"""
+# A7 (max token length probe) lives in catalog_ner's tagged
+# `token_accuracy` frame since r3 — merged to free a driver slot for
+# `dedup_contamination` under the <=50-entry budget.
 
 
 QUERIES = {
     "pricing_summary": (q_pricing_summary, SQL_PRICING_SUMMARY),
     "vocab_union": (q_vocab_union, SQL_VOCAB_UNION),
-    "max_token_len": (q_max_token_len, SQL_MAX_TOKEN_LEN),
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "events_grouping": (q_events_grouping, SQL_EVENTS_GROUPING),

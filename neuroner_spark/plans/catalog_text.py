@@ -162,6 +162,50 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.05
 """
 
 
+# --- benchmark decontamination (eval-set n-gram overlap) ---------------
+def q_dedup_contamination(spark, sf_dir):
+    """GPT-3/PaLM-style decontamination demo: benchmark = the first 5
+    documents; every corpus doc reports its shingle overlap with them
+    (the benchmark docs themselves score 1.0 — deterministic)."""
+    from neuroner_spark.operators.dedup import benchmark_contamination
+
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") < 5)
+    return benchmark_contamination(docs, bench, n=3, flag_threshold=0.05)
+
+
+SQL_DEDUP_CONTAMINATION = """
+WITH toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 15)) AS BIGINT) AS shingle_hash
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+           i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingle
+    FROM toks WHERE len(l) >= 3
+  )
+), bench AS (
+  SELECT DISTINCT shingle_hash FROM sh WHERE doc_id < 5
+), per_doc AS (
+  SELECT doc_id, count(*) AS n_shingles FROM sh GROUP BY 1
+), dirty AS (
+  SELECT doc_id, count(*) AS n_contaminated FROM sh
+  WHERE shingle_hash IN (SELECT shingle_hash FROM bench) GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+       CAST(coalesce(x.n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       round(coalesce(x.n_contaminated, 0) / CAST(coalesce(p.n_shingles, 1) AS DOUBLE), 6)
+         AS contaminated_frac,
+       coalesce(x.n_contaminated, 0) / CAST(coalesce(p.n_shingles, 1) AS DOUBLE) > 0.05
+         AS flagged
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+LEFT JOIN dirty x ON d.doc_id = x.doc_id
+"""
+
+
 # --- MinHash signatures (k=8 universal hashes over 28-bit shingle hashes)
 def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), n=3)
@@ -325,6 +369,7 @@ QUERIES = {
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
+    "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "simhash": (q_simhash, SQL_SIMHASH),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
