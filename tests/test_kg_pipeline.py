@@ -52,6 +52,20 @@ def test_resume_skips_stages(spark, pipeline_out):
     assert t1 == t2
 
 
+def test_canonical_map_distributed_fallback_parity(spark):
+    """small_threshold=0 forces the distributed connected-components
+    branch; its mapping must equal the driver union-find path's."""
+    from neuroner_spark.plans.kg_pipeline import canonical_map
+
+    aliases = alias_df(spark)
+    small = {(r["entity_id"], r["canonical_id"]) for r in canonical_map(aliases).collect()}
+    dist = {
+        (r["entity_id"], r["canonical_id"])
+        for r in canonical_map(aliases, small_threshold=0).collect()
+    }
+    assert small == dist and len(small) > 0
+
+
 def test_gazetteer_greedy_nonoverlap(spark):
     """overlap='greedy' enforces strict left-to-right non-overlap on
     staggered matches; the default containment mode keeps both (oracle
