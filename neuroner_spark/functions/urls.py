@@ -24,8 +24,11 @@ _TRACKING = r"(?<=[?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
 
 
 def url_host(url: Column) -> Column:
-    """Lowercased host, ``www.`` stripped."""
+    """Lowercased host, ``www.`` and any ``:port`` stripped (a port
+    would corrupt the label slicing in ``url_domain``: bbc.co.uk:8080
+    must parse like bbc.co.uk, not like a host ending in 'uk:8080')."""
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
+    host = F.regexp_replace(host, r":\d+$", "")
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -71,28 +74,71 @@ _PSL_2LD = {
     "rs": ["ac", "co", "edu", "gov", "in", "org"],
     "gr": ["com", "edu", "gov", "net", "org"],
     "cy": ["ac", "biz", "com", "gov", "ltd", "net", "org", "press", "pro", "tm"],
-    "ck": ["biz", "co", "edu", "gen", "gov", "info", "net", "org"],
 }
 TWO_LABEL_SUFFIXES = sorted(
     f"{sld}.{tld}" for tld, slds in _PSL_2LD.items() for sld in slds
 )
 
+# PSL wildcard rules. ``*.<tld>`` TLDs: EVERY second-level name is a
+# public suffix (registries that delegate all of level 2), so the
+# registrable domain is the third label — except the listed exception
+# rules (``!www.ck``), which are themselves registrable.
+WILDCARD_TLDS = sorted(["bd", "ck", "er", "fk", "jm", "kh", "mm", "np", "pg"])
+TLD_EXCEPTIONS = ["www.ck"]
+# ``*.<city>.jp`` rules: the JP geographic-type registries where every
+# third-level name is a public suffix (shop.example.kawasaki.jp
+# registers at the FOURTH label), except ``!city.<city>.jp``.
+WILDCARD_2LD = sorted(
+    f"{city}.jp"
+    for city in [
+        "kawasaki",
+        "kitakyushu",
+        "kobe",
+        "nagoya",
+        "sapporo",
+        "sendai",
+        "yokohama",
+    ]
+)
+SUFFIX_EXCEPTIONS = sorted(f"city.{w}" for w in WILDCARD_2LD)
+
 
 def url_domain(url: Column) -> Column:
-    """Registrable domain of the host, public-suffix-aware: hosts under
-    a two-label public suffix (``co.uk``, ``com.au``, …) keep THREE
-    labels, everything else the last two (the heuristic fallback).
-    Pure column expressions — the suffix table compiles to one Catalyst
-    ``IN`` over the last-two-label string, zero UDFs/shuffles.  A bare
-    suffix host ('co.uk' itself) has no registrable domain and falls
-    through to the two-label answer."""
+    """Registrable domain of the host, public-suffix-aware (PSL
+    algorithm, embedded trimmed snapshot of publicsuffix.org):
+
+    - exception rules win (``!www.ck``, ``!city.kawasaki.jp`` are
+      registrable themselves);
+    - ``*.<city>.jp`` wildcard 2LDs register at the FOURTH label;
+    - ``*.<tld>`` wildcard TLDs (``bd ck er fk jm kh mm np pg``)
+      register at the THIRD label;
+    - listed two-label suffixes (``co.uk``, ``com.au``, …) register at
+      the THIRD label;
+    - everything else: last two labels (heuristic fallback).
+
+    Pure column expressions — the suffix tables compile to Catalyst
+    ``IN`` lists over fixed label slices, zero UDFs/shuffles.  A host
+    that IS a public suffix ('co.uk', 'foo.kawasaki.jp') has no
+    registrable domain and falls through to itself/the two-label
+    answer."""
     host = url_host(url)
     labels = F.split(host, r"\.")
     n = F.size(labels)
+    last1 = F.element_at(labels, -1)
     last2 = F.array_join(F.slice(labels, F.greatest(n - 1, F.lit(1)), 2), ".")
     last3 = F.array_join(F.slice(labels, F.greatest(n - 2, F.lit(1)), 3), ".")
+    last4 = F.array_join(F.slice(labels, F.greatest(n - 3, F.lit(1)), 4), ".")
     return (
-        F.when((n >= 3) & last2.isin(TWO_LABEL_SUFFIXES), last3)
+        # exception rules (highest PSL precedence)
+        F.when((n >= 3) & last3.isin(SUFFIX_EXCEPTIONS), last3)
+        .when((n >= 2) & last2.isin(TLD_EXCEPTIONS), last2)
+        # *.city.jp wildcard 2LDs: suffix is 3 labels -> keep 4
+        .when((n >= 4) & last2.isin(WILDCARD_2LD), last4)
+        .when((n >= 3) & last2.isin(WILDCARD_2LD), last3)  # host == suffix
+        # *.tld wildcards: suffix is 2 labels -> keep 3
+        .when((n >= 3) & last1.isin(WILDCARD_TLDS), last3)
+        # listed two-label suffixes -> keep 3
+        .when((n >= 3) & last2.isin(TWO_LABEL_SUFFIXES), last3)
         .when(n >= 2, last2)
         .otherwise(host)
     )

@@ -156,6 +156,13 @@ def render_conlleval_report(f1_rows: list, accuracy: float, n_tokens: int) -> st
     precision/recall/f1) + ``token_accuracy`` -> the canonical
     conlleval text report (same layout the Perl script prints)."""
     by_type = {r["type"]: r for r in f1_rows}
+    if "ALL" not in by_type:
+        raise ValueError(
+            "render_conlleval_report needs the 'ALL' summary row from "
+            "conlleval_f1; got types "
+            f"{sorted(by_type)} (empty eval set? run conlleval_f1 on a "
+            "non-empty gold/pred join first)"
+        )
     overall = by_type.pop("ALL")
     n_gold = int(overall["tp"] + overall["fn"])
     n_found = int(overall["tp"] + overall["fp"])

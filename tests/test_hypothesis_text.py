@@ -148,6 +148,23 @@ def test_url_domain_psl(spark):
         "https://city.gov.uk/": "city.gov.uk",
         "http://localhost/x": "localhost",
         "https://co.uk/": "co.uk",  # bare suffix: no registrable domain
+        # ADVICE r3: ports must not corrupt the label slicing
+        "https://www.bbc.co.uk:8080/news": "bbc.co.uk",
+        "http://example.com:80/": "example.com",
+        # *.kawasaki.jp wildcard class: registrable at the 4th label
+        "http://shop.example.kawasaki.jp/x": "shop.example.kawasaki.jp",
+        "http://example.kawasaki.jp/": "example.kawasaki.jp",  # == suffix
+        "https://www.city.kawasaki.jp/": "city.kawasaki.jp",  # !exception
+        "https://sub.city.kawasaki.jp/": "city.kawasaki.jp",
+        "http://a.b.yokohama.jp/": "a.b.yokohama.jp",
+        # *.tld wildcards: registrable at the 3rd label
+        "http://example.com.bd/": "example.com.bd",
+        "https://deep.example.org.np/": "example.org.np",
+        # !www.ck exception (plain www.ck normalizes to 'ck' via the
+        # pinned leading-www strip before PSL logic, so probe via a sub)
+        "http://sub.www.ck/": "www.ck",
+        # ordinary jp 2LD list still applies
+        "https://www.example.co.jp/": "example.co.jp",
     }
     df = spark.createDataFrame([(u,) for u in cases], "url string").select(
         "url", url_domain(F.col("url")).alias("domain")

@@ -224,6 +224,15 @@ def test_conlleval_report_render_parse_roundtrip(spark):
     assert p2["types"]["MISC"]["precision"] == pytest.approx(0.791, abs=1e-6)
     with pytest.raises(ValueError):
         parse_conlleval_report("not a report")
+    # ADVICE r3: rows without an ALL summary (empty eval set) must fail
+    # with a descriptive error, not a KeyError
+    with pytest.raises(ValueError, match="ALL"):
+        render_conlleval_report(
+            [{"type": "LOC", "tp": 1, "fp": 0, "fn": 0,
+              "precision": 1.0, "recall": 1.0, "f1": 1.0}],
+            accuracy=1.0,
+            n_tokens=1,
+        )
 
 
 def test_assign_sequential_ids_matches_global_window(spark):
