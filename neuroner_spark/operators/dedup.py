@@ -211,6 +211,70 @@ def giant_buckets_from_banded(banded: DataFrame, max_bucket: int | None = 1000) 
     return giants
 
 
+def giant_bucket_edges_from_banded(banded: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+    """Over-cap buckets as component EDGES instead of pairs: every
+    member links to the bucket minimum — O(bucket) rows where pairing
+    would be O(bucket²).  A 10^6-member boilerplate cluster costs 10^6
+    edge rows here vs 5·10^11 pairs; connected components then treats
+    the whole bucket as one duplicate cluster (union with the capped
+    pair edges for the full graph).  Output: (src, dst) with
+    dst = min(doc_id) of the bucket, src != dst, distinct."""
+    sizes = banded.groupBy("band_id", "band_hash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id")
+    )
+    return (
+        banded.join(
+            sizes.filter(F.col("n_docs") > max_bucket).select(
+                "band_id", "band_hash", "keep_id"
+            ),
+            ["band_id", "band_hash"],
+        )
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias("src"), F.col("keep_id").alias("dst"))
+        .distinct()
+    )
+
+
+def near_dedup_corpus(
+    docs: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """END-TO-END near-dup corpus dedup — the composition a 100 TB
+    training-data pipeline actually runs: MinHash banding -> capped
+    candidate pairs + giant-bucket edges (ONE corpus scan, the banded
+    frame is materialized once) -> connected components -> keep one
+    representative (min doc_id) per duplicate cluster.
+
+    Output: one row per doc — (doc_id, component, keep).  ``keep`` is
+    true for the cluster representative; filtering on it yields the
+    deduplicated corpus.  Giant buckets (> ``max_bucket`` members) are
+    folded in as linear star edges, never pairs, so the r2-class
+    quadratic blow-up cannot occur while their members still dedup.
+    """
+    from neuroner_spark.operators.components import connected_components
+
+    banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash).localCheckpoint()
+    pairs = band_pairs_from_banded(banded, max_bucket).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    giant_edges = giant_bucket_edges_from_banded(banded, max_bucket)
+    comp = connected_components(pairs.union(giant_edges))
+    all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
+    return all_docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        comp_or_self.alias("component"),
+        (comp_or_self == F.col("doc_id")).alias("keep"),
+    )
+
+
 def minhash_band_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -403,34 +403,26 @@ SELECT nationkey, 'except' AS op FROM (
 
 # --- distinct aggregation
 def q_distinct_users(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count("*").alias("n_events"),
-    )
-
-
-SQL_DISTINCT_USERS = """
-SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events
-FROM events GROUP BY event_type
-"""
-
-
-# --- F9: JSON props extraction
-def q_json_props(spark, sf_dir):
+    """A2 cardinalities + F9 JSON props extraction, tag-merged into one
+    events groupBy (driver 50-query budget — freed the slot
+    ``dedup_near_corpus`` now occupies): per event_type, distinct
+    users, event count, and avg/max of the JSON ``$.k`` prop.  One
+    scan, one shuffle."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
         .groupBy("event_type")
         .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
             F.round(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
         )
     )
 
 
-SQL_JSON_PROPS = """
-SELECT event_type,
+SQL_DISTINCT_USERS = """
+SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
        round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
        max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
 FROM events GROUP BY event_type
@@ -688,7 +680,6 @@ QUERIES = {
     "rollup_docs": (q_rollup_docs, SQL_ROLLUP_DOCS),
     "nations_setops": (q_nations_setops, SQL_NATIONS_SETOPS),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
-    "json_props": (q_json_props, SQL_JSON_PROPS),
     "events_per_day": (q_events_per_day, SQL_EVENTS_PER_DAY),
     "vocab_freq": (q_vocab_freq, SQL_VOCAB_FREQ),
     "rare_token_unk": (q_rare_token_unk, SQL_RARE_TOKEN_UNK),

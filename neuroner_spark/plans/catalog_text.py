@@ -206,6 +206,82 @@ LEFT JOIN dirty x ON d.doc_id = x.doc_id
 """
 
 
+# --- END-TO-END near-dup corpus dedup: banding -> capped pairs +
+# giant-bucket star edges -> connected components -> keep-one (the
+# composition a 100 TB pipeline runs; r3 verdict top_next item).
+# max_bucket=2 at this toy scale so BOTH edge paths are live in the
+# driver check (sf0.01 has 25 pair edges and 5 giant-star edges);
+# production default is 1000.
+def q_dedup_near_corpus(spark, sf_dir):
+    from neuroner_spark.operators.dedup import near_dedup_corpus
+
+    return near_dedup_corpus(_docs(spark, sf_dir), n=3, bands=4, max_bucket=2)
+
+
+def _near_corpus_sql(max_bucket: int = 2) -> str:
+    from neuroner_spark.operators.dedup import MINHASH_PARAMS, PRIME_31
+
+    mins = ",\n         ".join(
+        f"CAST(min((shingle_hash * {a % PRIME_31} + {b}) % {PRIME_31}) AS BIGINT) AS h{i}"
+        for i, (a, b) in enumerate(MINHASH_PARAMS)
+    )
+    band_rows = "\n    UNION ALL\n".join(
+        f"    SELECT doc_id, {bi} AS band_id, "
+        f"CAST(h{2 * bi} AS VARCHAR) || '_' || CAST(h{2 * bi + 1} AS VARCHAR) AS bs FROM sig"
+        for bi in range(4)
+    )
+    # min-label propagation: labels only travel toward LARGER node ids
+    # (the component min is below every member, so it still reaches all)
+    return f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS l FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(shingle), 1, 7)) AS BIGINT) AS shingle_hash
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(l) - 1, 1)),
+           i -> concat_ws(' ', l[i], l[i+1], l[i+2]))) AS shingle
+    FROM toks WHERE len(l) >= 3
+  )
+), sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM sh GROUP BY doc_id
+), banded AS (
+  SELECT doc_id, band_id,
+         CAST(('0x' || substring(md5(bs), 1, 15)) AS BIGINT) AS band_hash
+  FROM (
+{band_rows}
+  )
+), sizes AS (
+  SELECT band_id, band_hash, count(*) AS n_docs, min(doc_id) AS keep_id
+  FROM banded GROUP BY 1, 2
+), pair_edges AS (
+  SELECT DISTINCT x.doc_id AS src, y.doc_id AS dst
+  FROM banded x
+  JOIN banded y ON x.band_id = y.band_id AND x.band_hash = y.band_hash
+               AND x.doc_id < y.doc_id
+  JOIN sizes s ON s.band_id = x.band_id AND s.band_hash = x.band_hash
+  WHERE s.n_docs <= {max_bucket}
+), giant_edges AS (
+  SELECT DISTINCT b.doc_id AS src, s.keep_id AS dst
+  FROM banded b
+  JOIN sizes s ON s.band_id = b.band_id AND s.band_hash = b.band_hash
+  WHERE s.n_docs > {max_bucket} AND b.doc_id <> s.keep_id
+), sym AS (
+  SELECT src AS a, dst AS b FROM (SELECT * FROM pair_edges UNION SELECT * FROM giant_edges)
+  UNION
+  SELECT dst, src FROM (SELECT * FROM pair_edges UNION SELECT * FROM giant_edges)
+), reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node WHERE r.lab < s.b
+)
+SELECT node AS doc_id, min(lab) AS component, (min(lab) = node) AS keep
+FROM reach GROUP BY node
+"""
+
+
 # --- MinHash signatures (k=8 universal hashes over 28-bit shingle hashes)
 def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), n=3)
@@ -370,6 +446,7 @@ QUERIES = {
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
+    "dedup_near_corpus": (q_dedup_near_corpus, _near_corpus_sql(2)),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "simhash": (q_simhash, SQL_SIMHASH),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),

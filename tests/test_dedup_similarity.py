@@ -230,6 +230,39 @@ def test_minhash_hot_bucket_cap_bounds_pairs(spark):
     assert giant_buckets_from_banded(bd, max_bucket=100).count() == len(giants)
 
 
+def test_near_dedup_corpus_end_to_end_with_giant_cluster(spark):
+    """The full composition (banding -> capped pairs + giant star
+    edges -> connected components -> keep-one) dedups a 3000-clone
+    giant cluster to ONE representative without ever emitting its
+    ~4.5M quadratic pairs, while small near-dup clusters and unique
+    docs are handled on the pair path."""
+    from neuroner_spark.operators.dedup import near_dedup_corpus
+
+    n_clones = 3000
+    rows = [(i, BASE) for i in range(n_clones)]
+    rows += [
+        (n_clones, "totally different text alpha beta gamma delta epsilon zeta"),
+        (n_clones + 1, "totally different text alpha beta gamma delta epsilon zeta"),
+        (n_clones + 2, "yet another unrelated document about streams and windows"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in near_dedup_corpus(docs, max_bucket=100).collect()}
+    # one row per input doc — nothing silently dropped
+    assert len(out) == n_clones + 3
+    # the giant cluster collapses to component 0, only doc 0 kept
+    assert all(out[i]["component"] == 0 for i in range(n_clones))
+    assert out[0]["keep"] is True
+    assert not any(out[i]["keep"] for i in range(1, n_clones))
+    # the small exact-dup pair dedups via the PAIR path
+    assert out[n_clones]["keep"] is True and out[n_clones + 1]["keep"] is False
+    assert out[n_clones + 1]["component"] == n_clones
+    # the unique doc survives as its own singleton component
+    assert out[n_clones + 2]["keep"] is True
+    assert out[n_clones + 2]["component"] == n_clones + 2
+    # the deduplicated corpus is exactly the keep=true rows
+    assert sum(1 for r in out.values() if r["keep"]) == 3
+
+
 def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     """Same guard on the hyperplane-LSH pair generator."""
     from neuroner_spark.operators.similarity import lsh_bucket_pairs, lsh_giant_buckets
