@@ -124,12 +124,69 @@ def main() -> None:
         # noise at best-of-2; a third sample pins the steady state)
         timed(name, lambda fn=fn: fn(spark, sf_dir).count(), repeats=3)
 
+    # --- x10 tier (r3 verdict #5): the sub-second queries are noise-
+    # dominated at sf0.1 (~0.3-0.7 s/job scheduler latency on this
+    # host); run them on a 10x-unioned copy of their input tables so
+    # plan changes move the numbers past the noise floor. Kept OUT of
+    # the headline total (cross-round comparability); reported under
+    # queries_x10.
+    import shutil
+    import tempfile
+
+    x10_dir = tempfile.mkdtemp(prefix="bench_x10_")
+    x10_tables = {
+        "documents": "doc_id",
+        "embeddings": "vec_id",
+        "lineitem": "l_orderkey",
+        "orders": "o_orderkey",
+        "events": "user_id",
+        "customer": None,  # dimension side: copied once, not scaled
+        "nation": None,
+        "region": None,
+    }
+    for table, id_col in x10_tables.items():
+        src = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+        if id_col is None:
+            scaled = src
+        else:
+            copies = [
+                src.withColumn(id_col, F.col(id_col) + F.lit(i * 1_000_000_000))
+                for i in range(10)
+            ]
+            scaled = copies[0]
+            for c in copies[1:]:
+                scaled = scaled.unionByName(c)
+        scaled.write.mode("overwrite").parquet(f"{x10_dir}/{table}.parquet")
+    x10_timings: dict[str, float] = {}
+
+    def timed_x10(name: str, fn, repeats: int = 3):
+        best = None
+        for _ in range(repeats):
+            t0 = time.time()
+            fn()
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+        x10_timings[name] = round(best, 3)
+
+    x10_set = [
+        "pricing_summary",
+        "user_sessions",
+        "top3_orders_per_customer",
+        "simhash",
+        "knn_cosine",
+    ]
+    for name in x10_set:
+        fn = heavies[name]
+        timed_x10(name, lambda fn=fn: fn(spark, x10_dir).count())
+    shutil.rmtree(x10_dir, ignore_errors=True)
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_x10": x10_timings,
         "sf": sf,
         "cpus": cpus,
         "n_docs": n_docs,

@@ -134,6 +134,70 @@ def _make_grad_fn(bundle_bc, label_to_idx: dict[str, int]):
     return grad_batches
 
 
+# second-level (executor-side) gradient aggregation row: the partition
+# row plus its group id, so the driver can fold groups in pinned order
+GRAD2_SCHEMA = T.StructType(
+    list(GRAD_SCHEMA.fields) + [T.StructField("g", T.LongType(), False)]
+)
+
+
+def _presum_grad_rows(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Executor-side pre-sum of per-partition gradient rows (the
+    treeAggregate level between workers and driver).  Each task
+    receives the rows of one or more groups ``g``; per group it folds
+    the dense gradients, merges the sparse embedding parts, and emits
+    ONE row — so the driver collects ``agg_groups`` rows instead of
+    one per partition.  r3 measurement (BENCH/BASELINE.md): 1.918 MB
+    per partition row -> ~1.9 GB/epoch of driver fan-in at 1000
+    executors; this caps it at agg_groups x row size regardless of
+    cluster width.
+
+    Determinism: rows fold in ``pid`` order within a group and groups
+    are ``pid % k``, so a rerun is bit-identical; with one row per
+    group (k >= n_partitions) the output equals the input rows and the
+    whole path is bit-for-bit the same as the plain collect."""
+    acc: dict[int, list] = {}
+    for pdf in batches:
+        for r in pdf.itertuples(index=False):
+            acc.setdefault(int(r.g), []).append(r)
+    out: dict[str, list] = {
+        "grad": [], "loss_sum": [], "n_tokens": [], "emb_ids": [], "emb_grad": [], "g": []
+    }
+    for g in sorted(acc):
+        rows = sorted(acc[g], key=lambda r: int(r.pid))
+        dense = np.asarray(rows[0].grad, dtype=np.float64).copy()
+        for r in rows[1:]:
+            dense += np.asarray(r.grad, dtype=np.float64)
+        loss_sum = 0.0
+        n_tok = 0
+        for r in rows:
+            loss_sum += float(r.loss_sum)
+            n_tok += int(r.n_tokens)
+        with_emb = [r for r in rows if r.emb_ids is not None and len(r.emb_ids)]
+        if with_emb:
+            all_ids = np.concatenate([np.asarray(r.emb_ids, dtype=np.int64) for r in with_emb])
+            all_vals = np.concatenate(
+                [np.asarray(r.emb_grad, dtype=np.float64).reshape(len(r.emb_ids), -1) for r in with_emb]
+            )
+            uniq_ids, inv = np.unique(all_ids, return_inverse=True)
+            merged = np.zeros((len(uniq_ids), all_vals.shape[1]), dtype=np.float64)
+            np.add.at(merged, inv, all_vals)
+            emb_ids, emb_grad = uniq_ids.tolist(), merged.ravel().tolist()
+        else:
+            emb_ids, emb_grad = [], []
+        out["grad"].append(dense.tolist())
+        out["loss_sum"].append(loss_sum)
+        out["n_tokens"].append(n_tok)
+        out["emb_ids"].append(emb_ids)
+        out["emb_grad"].append(emb_grad)
+        out["g"].append(g)
+    # tasks whose hash range got no groups yield nothing (an EMPTY
+    # pandas frame defaults its list columns to float64, which Arrow
+    # cannot cast to list<double>)
+    if out["g"]:
+        yield pd.DataFrame(out)
+
+
 # Trainable set for full-network training, in pinned flatten order.
 # Char Bi-LSTM + char embeddings stay frozen (reference ``reload_*``
 # freeze semantics); "token_emb" is appended when train_embeddings=True.
@@ -367,6 +431,8 @@ def train_full_network(
     optimizer: str = "sgd",
     dropout: float = 0.0,
     train_chars: bool = False,
+    two_level_agg: bool = False,
+    agg_groups: int = 32,
 ) -> dict:
     """Reference ``src/neuroner.py :: fit`` parity: train the WHOLE
     network (token Bi-LSTM + FF + output head, optionally token
@@ -399,6 +465,17 @@ def train_full_network(
     gradients flow per UNIQUE word then back through the occurrence
     scatter, so the char-LSTM BPTT cost keeps the Zipf dedup win.
 
+    ``two_level_agg``: insert an executor-side pre-sum level between
+    the per-partition gradient rows and the driver (treeAggregate
+    shape): rows fold into ``agg_groups`` groups (``pid % k``) on the
+    cluster, so the driver collects k rows regardless of partition
+    count.  The r3 fan-in measurement (1.918 MB/partition-row — see
+    BENCH/BASELINE.md) makes this mandatory past ~1000 executors
+    (~1.9 GB/epoch of driver fan-in otherwise).  With
+    ``agg_groups >= n_partitions`` the path is bit-for-bit identical
+    to the plain collect (tested); with real pre-summing the result
+    differs only by float64 re-association (~1e-15 relative).
+
     ``eval_tokens`` (optional, (doc_id, sent_id, pos, token, label)):
     the VALIDATION split.  When given, each epoch ends with a tagger
     pass + conlleval phrase F1 on it (reference ``prediction_step`` +
@@ -426,7 +503,7 @@ def train_full_network(
             F.xxhash64(F.lit(seed + epoch), "doc_id", "sent_id"),
         )
         bc = spark.sparkContext.broadcast(cur)
-        rows = shuffled.mapInPandas(
+        raw = shuffled.mapInPandas(
             _make_full_grad_fn(
                 bc,
                 label_to_idx,
@@ -437,7 +514,25 @@ def train_full_network(
                 train_chars=train_chars,
             ),
             GRAD_SCHEMA,
-        ).collect()
+        )
+        if two_level_agg:
+            # treeAggregate shape: executors pre-sum pid % k groups so
+            # driver fan-in is k rows, not one per partition (the
+            # BENCH/BASELINE.md decision rule's fix for wide clusters).
+            # spark_partition_id() right after mapInPandas is the SAME
+            # partition (narrow op), so grouping is stable and the
+            # per-group pid-ordered fold is deterministic.
+            k = max(1, min(agg_groups, spark.sparkContext.defaultParallelism))
+            rows = (
+                raw.withColumn("pid", F.spark_partition_id())
+                .withColumn("g", F.pmod(F.col("pid").cast("long"), F.lit(k)))
+                .repartition(k, "g")
+                .mapInPandas(_presum_grad_rows, GRAD2_SCHEMA)
+                .collect()
+            )
+            rows = sorted(rows, key=lambda r: r["g"])
+        else:
+            rows = raw.collect()
         bc.destroy()
         grad = np.zeros(total, dtype=np.float64)
         # token_emb (when trained) is the LAST name: its block is the

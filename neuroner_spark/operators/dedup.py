@@ -256,15 +256,28 @@ def near_dedup_corpus(
     folded in as linear star edges, never pairs, so the r2-class
     quadratic blow-up cannot occur while their members still dedup.
     """
+    banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash).localCheckpoint()
+    all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    return near_dedup_from_banded(banded, all_docs, max_bucket)
+
+
+def near_dedup_from_banded(
+    banded: DataFrame, all_docs: DataFrame, max_bucket: int | None = 1000
+) -> DataFrame:
+    """The components+keep-one half of ``near_dedup_corpus``, over a
+    PRE-MATERIALIZED banded frame (the pipeline entry point: the
+    corpus-prep pipeline writes ``banded`` as its own stage and derives
+    pairs, giant buckets, and this output from that single scan).
+    ``all_docs`` must be a one-column (doc_id:long) frame covering
+    every doc — docs absent from ``banded`` (too short to shingle)
+    come back as keep=true singletons, never silently dropped."""
     from neuroner_spark.operators.components import connected_components
 
-    banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash).localCheckpoint()
     pairs = band_pairs_from_banded(banded, max_bucket).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
     giant_edges = giant_bucket_edges_from_banded(banded, max_bucket)
     comp = connected_components(pairs.union(giant_edges))
-    all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
     return all_docs.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"

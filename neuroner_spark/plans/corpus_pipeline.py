@@ -1,0 +1,187 @@
+"""Materialized, checkpointed, resumable CORPUS-PREP pipeline — the
+LLM-training-data composition (exact dedup -> near-dup dedup ->
+benchmark decontamination -> quality/Gopher gates) run the way the KG
+pipeline (``plans/kg_pipeline.py``) runs its stages: every stage
+writes Parquet + ``_manifest.json`` (fingerprint, row count, wall
+seconds, partition histogram) and a rerun with ``resume=True`` skips
+stages whose manifest matches the input fingerprint.
+
+Lineage doubles as the no-silent-caps audit trail (r3 ADVICE): the
+``giant_buckets`` stage materializes every over-``max_bucket`` LSH
+bucket with its size, so a capped run is visible in ``lineage.json``
+(``n_rows`` = number of capped clusters) without querying anything.
+
+Stage graph (all DataFrame -> DataFrame; Iceberg commits in prod):
+
+  docs(doc_id, text, ...)
+    -> exact_deduped     keep min doc_id per md5 fingerprint
+    -> banded            MinHash band hashes — THE shared scan: pairs,
+                         giant buckets, and components all derive from
+                         this one materialization
+    -> giant_buckets     over-cap buckets (audit side output)
+    -> near_components   capped pairs + giant star edges -> connected
+                         components -> (doc_id, component, keep)
+    -> near_deduped      keep=true docs
+    -> contamination     per-doc benchmark n-gram overlap (optional)
+    -> quality           quality_score + Gopher repetition flags
+    -> corpus            the surviving training corpus
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from neuroner_spark.functions.text_analysis import fingerprint, quality_score, repetition_metrics
+from neuroner_spark.operators.dedup import (
+    benchmark_contamination,
+    giant_buckets_from_banded,
+    minhash_banded,
+    near_dedup_from_banded,
+)
+from neuroner_spark.plans.kg_pipeline import _fingerprint, _try_resume, _write_stage
+
+
+def exact_dedup_keep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact-dedup filter: keep the min-id doc per normalized-text
+    fingerprint.  One hash-groupBy + one semi join — both shuffles on
+    narrow keys; the full doc payload rides only the semi join's
+    build-side-free probe (no text shuffle)."""
+    keep = (
+        docs.select(F.col(id_col).alias("doc_id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias(id_col))
+        .select(id_col)
+    )
+    return docs.join(keep, id_col, "left_semi")
+
+
+def run_corpus_prep(
+    spark: SparkSession,
+    docs: DataFrame,
+    out_dir: str,
+    benchmark: DataFrame | None = None,
+    resume: bool = True,
+    n: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    contamination_n: int = 8,
+    contamination_threshold: float = 0.05,
+    min_quality: float = 0.5,
+    fast_hash: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Run all corpus-prep stages with checkpoint/resume; returns
+    {'corpus': DataFrame, 'components': DataFrame, 'giant_buckets':
+    DataFrame, 'quality': DataFrame, 'contamination': DataFrame|None,
+    'lineage': [...]}.
+
+    Every parameter that changes a stage's OUTPUT is folded into that
+    stage's fingerprint, so a parameter change invalidates exactly the
+    stages it affects (e.g. a new ``max_bucket`` rebuilds giant
+    buckets/components but resumes the banded scan).
+
+    ``id_col`` must be numeric (castable to long) — connected
+    components propagates MIN ids.  For url-keyed crawl tables, derive
+    the id first (``xxhash64(url)``) and keep the url alongside.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    lineage: list[dict] = []
+    fp_docs = _fingerprint(docs.select(id_col, text_col), "corpus")
+
+    def stage(name: str, fp: str, build):
+        if resume:
+            cached = _try_resume(spark, out_dir, name, fp, lineage)
+            if cached is not None:
+                return cached
+        return _write_stage(build(), out_dir, name, fp, lineage)
+
+    exact = stage("exact_deduped", fp_docs + "|exact", lambda: exact_dedup_keep(docs, id_col, text_col))
+    fp_band = fp_docs + f"|exact|band:n={n}:b={bands}:fast={fast_hash}"
+    banded = stage(
+        "banded", fp_band, lambda: minhash_banded(exact, n, bands, id_col, text_col, fast_hash)
+    )
+    fp_cap = fp_band + f"|cap={max_bucket}"
+    giants = stage(
+        "giant_buckets", fp_cap, lambda: giant_buckets_from_banded(banded, max_bucket)
+    )
+    components = stage(
+        "near_components",
+        fp_cap + "|cc",
+        lambda: near_dedup_from_banded(
+            banded, exact.select(F.col(id_col).cast("long").alias("doc_id")).distinct(), max_bucket
+        ),
+    )
+    near = stage(
+        "near_deduped",
+        fp_cap + "|kept",
+        lambda: exact.join(
+            components.filter(F.col("keep")).select(F.col("doc_id").alias(id_col)),
+            id_col,
+            "left_semi",
+        ),
+    )
+    contamination = None
+    fp_final = fp_cap
+    if benchmark is not None:
+        fp_bench = _fingerprint(benchmark.select(text_col), "bench")
+        fp_contam = (
+            fp_cap + f"|contam:{fp_bench}:n={contamination_n}:t={contamination_threshold}"
+        )
+        contamination = stage(
+            "contamination",
+            fp_contam,
+            lambda: benchmark_contamination(
+                near,
+                benchmark,
+                n=contamination_n,
+                flag_threshold=contamination_threshold,
+                id_col=id_col,
+                text_col=text_col,
+                bench_text_col=text_col,
+                fast_hash=fast_hash,
+            ),
+        )
+        fp_final = fp_contam
+    quality = stage(
+        "quality",
+        fp_cap + "|quality",
+        lambda: repetition_metrics(near, id_col=id_col, text_col=text_col)
+        .withColumnRenamed("flagged", "repetition_flagged")
+        # repetition_metrics emits doc_id as string (its oracle
+        # contract); align the join key dtype with the corpus
+        .withColumn("doc_id", F.col("doc_id").cast("long"))
+        .join(
+            near.select(F.col(id_col).alias("doc_id"), quality_score(F.col(text_col)).alias("quality")),
+            "doc_id",
+        ),
+    )
+
+    def build_corpus() -> DataFrame:
+        ok = quality.filter(
+            (F.col("quality") >= min_quality) & (~F.col("repetition_flagged"))
+        ).select(F.col("doc_id").alias(id_col))
+        kept = near.join(ok, id_col, "left_semi")
+        if contamination is not None:
+            clean = contamination.filter(~F.col("flagged")).select(
+                F.col("doc_id").alias(id_col)
+            )
+            kept = kept.join(clean, id_col, "left_semi")
+        return kept
+
+    corpus = stage("corpus", fp_final + f"|q>={min_quality}", build_corpus)
+    with open(os.path.join(out_dir, "lineage.json"), "w") as f:
+        json.dump(lineage, f, indent=1)
+    return {
+        "corpus": corpus,
+        "components": components,
+        "giant_buckets": giants,
+        "near_deduped": near,
+        "quality": quality,
+        "contamination": contamination,
+        "lineage": lineage,
+    }

@@ -64,16 +64,33 @@ def run_streaming_pipeline(
     alias_dict: DataFrame,
     mention_source: str = "gazetteer",
     bundle: dict | None = None,
+    min_quality: float | None = None,
+    benchmark: DataFrame | None = None,
+    rejects_dir: str | None = None,
+    contamination_n: int = 8,
+    contamination_threshold: float = 0.05,
 ) -> None:
     """foreachBatch KG pipeline: each micro-batch of pages runs the
     batch stages (normalize -> tokenize -> match -> link -> triples)
     and writes its own ``batch_id=<n>`` partition of the triples table
     (idempotent under retry; readers see ``batch_id`` as a partition
     column). Drains available input and stops (availableNow) — swap
-    the trigger for continuous operation."""
+    the trigger for continuous operation.
+
+    Intake gates (the corpus-prep filters applied AT ingest, so junk
+    never reaches the KG stages): ``min_quality`` drops pages below
+    the quality_score threshold; ``benchmark`` drops pages whose
+    ``contamination_n``-gram overlap with the eval set exceeds
+    ``contamination_threshold``.  Rejected pages are ROUTED, not
+    dropped: when ``rejects_dir`` is set they land in its
+    ``batch_id=<n>`` partition with a ``reject_reason`` column — same
+    overwrite idempotence as the triples table, so a retried batch
+    never duplicates rejects either."""
     import os
 
+    from neuroner_spark.functions.text_analysis import quality_score
     from neuroner_spark.functions.tokenize import tokenize
+    from neuroner_spark.operators.dedup import benchmark_contamination
     from neuroner_spark.operators.gazetteer import match_mentions
     from neuroner_spark.operators.linking import link_mentions
     from neuroner_spark.plans.kg_pipeline import (
@@ -90,6 +107,40 @@ def run_streaming_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        if min_quality is not None or benchmark is not None:
+            gated = batch_df.withColumn("_quality", quality_score(F.col("text")))
+            reason = F.lit(None).cast("string")
+            if benchmark is not None:
+                contam = benchmark_contamination(
+                    gated,
+                    benchmark,
+                    n=contamination_n,
+                    flag_threshold=contamination_threshold,
+                    id_col="url",
+                ).select(F.col("doc_id").alias("url"), F.col("flagged").alias("_contaminated"))
+                gated = gated.join(contam, "url", "left")
+                reason = F.when(F.coalesce("_contaminated", F.lit(False)), F.lit("contaminated"))
+            if min_quality is not None:
+                reason = F.coalesce(
+                    reason,
+                    F.when(F.col("_quality") < min_quality, F.lit("low_quality")),
+                )
+            gated = gated.withColumn("_reject_reason", reason)
+            # the batch frame branches into rejects + accepted; pin it
+            # so the gate expressions (and any tagger upstream) run once
+            gated = gated.localCheckpoint()
+            if rejects_dir is not None:
+                rejects = gated.filter(F.col("_reject_reason").isNotNull()).select(
+                    "url", "warc_ts", "lang", F.col("_reject_reason").alias("reject_reason")
+                )
+                rejects.write.mode("overwrite").parquet(
+                    os.path.join(rejects_dir, f"batch_id={batch_id}")
+                )
+            batch_df = gated.filter(F.col("_reject_reason").isNull()).drop(
+                "_quality", "_contaminated", "_reject_reason"
+            )
+            if batch_df.isEmpty():
+                return
         norm = normalize_pages(batch_df)
         tokens = tokenize(norm)
         if mention_source == "neural":

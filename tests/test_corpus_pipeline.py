@@ -1,0 +1,155 @@
+"""Corpus-prep pipeline: composition semantics (exact -> near-dup ->
+decontamination -> quality gates), manifest/lineage, and resume."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+CLEAN = [
+    "the quick brown fox jumps over a lazy dog near this river bank today",
+    "a small team of engineers built the new bridge across that valley in record time",
+    "she walked to the market this morning and bought fresh bread for her family",
+]
+# near-dup pair: long shared core, one trailing word differs
+NEAR_CORE = (
+    "large language models are trained on the text of the public web after careful "
+    "filtering and deduplication of the source pages collected by the crawler"
+)
+# giant cluster: shared core plus a tiny per-doc suffix
+GIANT_CORE = (
+    "breaking news tonight as council members voted to approve plans for expanding "
+    "harbor facilities while local residents voiced support and the officials promised "
+    "careful oversight during construction"
+)
+SPAM = "buy now " * 30  # top-bigram/word dominated -> Gopher-flagged
+BENCH_SENT = (
+    "what is the capital of france the capital of france is paris of course"
+)
+
+
+def _docs(spark):
+    rows = []
+    did = 0
+    for t in CLEAN:
+        rows.append((did, t))
+        did += 1
+    # exact dups of clean doc 0
+    rows += [(did, CLEAN[0]), (did + 1, CLEAN[0])]
+    did += 2
+    near_a, near_b = did, did + 1
+    rows += [(near_a, NEAR_CORE + " yesterday"), (near_b, NEAR_CORE + " today")]
+    did += 2
+    giant_ids = list(range(did, did + 8))
+    rows += [(g, GIANT_CORE + f" extra{g}") for g in giant_ids]
+    did += 8
+    spam_id, contam_id, short_id = did, did + 1, did + 2
+    rows += [
+        (spam_id, SPAM.strip()),
+        (contam_id, "before the quiz remember this " + BENCH_SENT + " and good luck"),
+        (short_id, "hi"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ids = {
+        "clean": [0, 1, 2],
+        "exact_dups": [3, 4],
+        "near": (near_a, near_b),
+        "giant": giant_ids,
+        "spam": spam_id,
+        "contam": contam_id,
+        "short": short_id,
+    }
+    return docs, ids
+
+
+@pytest.fixture(scope="module")
+def prep_out(spark, tmp_path_factory):
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    docs, ids = _docs(spark)
+    bench = spark.createDataFrame([(0, BENCH_SENT)], "doc_id long, text string")
+    out = str(tmp_path_factory.mktemp("corpus_prep"))
+    res = run_corpus_prep(
+        spark, docs, out, benchmark=bench, max_bucket=3, contamination_n=8
+    )
+    return docs, ids, bench, out, res
+
+
+def test_corpus_prep_semantics(prep_out):
+    docs, ids, bench, out, res = prep_out
+    kept = sorted(r["doc_id"] for r in res["corpus"].select("doc_id").collect())
+    # clean docs survive
+    for d in ids["clean"]:
+        assert d in kept
+    # exact dups of clean 0 are gone (min id kept)
+    assert not set(ids["exact_dups"]) & set(kept)
+    # near-dup pair collapses to its min id
+    a, b = ids["near"]
+    assert a in kept and b not in kept
+    # the 8-member giant cluster (> max_bucket=3) collapses to one via
+    # star edges, never pairs
+    assert ids["giant"][0] in kept
+    assert not set(ids["giant"][1:]) & set(kept)
+    # spam fails the Gopher repetition gate; contaminated doc is routed
+    # out by decontamination; the 1-token doc fails min_quality
+    assert ids["spam"] not in kept
+    assert ids["contam"] not in kept
+    assert ids["short"] not in kept
+    # ...but ALL of them are visible upstream: components has one row
+    # per exact-deduped doc, keep=true for the short singleton
+    comp = {r["doc_id"]: r for r in res["components"].collect()}
+    assert comp[ids["short"]]["keep"] is True
+    assert all(comp[g]["component"] == ids["giant"][0] for g in ids["giant"])
+
+
+def test_corpus_prep_lineage_and_giant_visibility(prep_out):
+    docs, ids, bench, out, res = prep_out
+    stages = [m["stage"] for m in res["lineage"]]
+    assert stages == [
+        "exact_deduped",
+        "banded",
+        "giant_buckets",
+        "near_components",
+        "near_deduped",
+        "contamination",
+        "quality",
+        "corpus",
+    ]
+    by = {m["stage"]: m for m in res["lineage"]}
+    # the no-silent-caps audit: capped clusters are countable from the
+    # manifest alone
+    assert by["giant_buckets"]["n_rows"] >= 1
+    for m in res["lineage"]:
+        assert m["n_rows"] >= 0 and "fingerprint" in m and "n_partitions" in m
+    # manifests exist on disk
+    assert os.path.exists(os.path.join(out, "lineage.json"))
+    with open(os.path.join(out, "giant_buckets", "_manifest.json")) as f:
+        assert json.load(f)["stage"] == "giant_buckets"
+
+
+def test_corpus_prep_resume_and_invalidation(spark, prep_out):
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    docs, ids, bench, out, res = prep_out
+    # rerun: every stage resumes from its manifest
+    res2 = run_corpus_prep(
+        spark, docs, out, benchmark=bench, max_bucket=3, contamination_n=8
+    )
+    assert all(m.get("resumed") for m in res2["lineage"]), res2["lineage"]
+    assert sorted(r["doc_id"] for r in res2["corpus"].collect()) == sorted(
+        r["doc_id"] for r in res["corpus"].collect()
+    )
+    # parameter change invalidates exactly the stages it affects:
+    # max_bucket feeds giant_buckets/components/corpus but NOT the
+    # exact-dedup or the banded scan
+    res3 = run_corpus_prep(
+        spark, docs, out, benchmark=bench, max_bucket=100, contamination_n=8
+    )
+    by = {m["stage"]: m for m in res3["lineage"]}
+    assert by["exact_deduped"].get("resumed") and by["banded"].get("resumed")
+    assert not by["giant_buckets"].get("resumed")
+    assert not by["near_components"].get("resumed")
+    assert not by["corpus"].get("resumed")

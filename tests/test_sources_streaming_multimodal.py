@@ -164,6 +164,64 @@ def test_streaming_pipeline(spark, tmp_path):
     assert rates.count() > 0
 
 
+def test_streaming_intake_gates_route_rejects(spark, tmp_path):
+    """Quality + decontamination gates INSIDE foreachBatch: flagged
+    pages are routed to the rejects table (with reasons), clean pages
+    still produce triples, and the exactly-once re-drain property
+    holds for both outputs."""
+    import datetime
+
+    from neuroner_spark.fixtures.gen import alias_df, pages_df
+    from neuroner_spark.streaming.ingest import run_streaming_pipeline
+
+    ts = datetime.datetime(2024, 1, 1)
+    bench_text = (
+        "what is the capital of france the capital of france is paris of course"
+    )
+    base = pages_df(spark, 30)
+    extra = spark.createDataFrame(
+        [
+            ("http://bad.example/low", ts, b"", "tiny", "en"),
+            (
+                "http://bad.example/leak",
+                ts,
+                b"",
+                "students please recall that " + bench_text + " for the exam",
+                "en",
+            ),
+        ],
+        base.schema,
+    )
+    landing = str(tmp_path / "landing")
+    base.unionByName(extra).write.parquet(landing)
+    out, ckpt, rejects = (
+        str(tmp_path / "triples"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "rejects"),
+    )
+    bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    kwargs = dict(
+        min_quality=0.4,
+        benchmark=bench,
+        rejects_dir=rejects,
+        contamination_n=8,
+    )
+    run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark), **kwargs)
+    rej = spark.read.parquet(rejects)
+    by_url = {r["url"]: r["reject_reason"] for r in rej.collect()}
+    assert by_url["http://bad.example/low"] == "low_quality"
+    assert by_url["http://bad.example/leak"] == "contaminated"
+    triples = spark.read.parquet(out)
+    n1 = triples.count()
+    assert n1 > 0
+    # no rejected url ever reaches the triples table
+    assert triples.filter(F.col("url").startswith("http://bad.example/")).count() == 0
+    # exactly-once: a second drain from the same checkpoint adds nothing
+    run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark), **kwargs)
+    assert spark.read.parquet(out).count() == n1
+    assert spark.read.parquet(rejects).count() == rej.count()
+
+
 def test_multimodal_plumbing(spark):
     from neuroner_spark.functions.multimodal import html_to_text, media_features
 

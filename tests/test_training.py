@@ -419,6 +419,42 @@ def test_sparse_embedding_gradient_rows(spark):
         assert len(r["grad"]) < 250_000
 
 
+def test_two_level_agg_parity(spark):
+    """treeAggregate gradient path (two_level_agg): with one group per
+    partition the executor pre-sum is an identity re-packaging, so the
+    trained bundle must be BIT-FOR-BIT identical to the plain-collect
+    path; with real pre-summing (agg_groups=2) the only difference is
+    float64 re-association — parity to ~1e-12."""
+    import numpy as np
+
+    from neuroner_spark.model.train import train_full_network
+
+    corpus = _corpus_in_domain(spark)
+    vocab = build_vocab([r["token"] for r in corpus.select("token").collect()])
+    bundle = make_bundle(vocab, seed=42)
+    kw = dict(epochs=2, lr=0.5, patience=3, train_embeddings=True, seed=7)
+    base = train_full_network(spark, corpus, bundle, **kw)
+    # k >= n_partitions: every group holds exactly one partition row ->
+    # identical fold order -> bit-for-bit
+    same = train_full_network(
+        spark, corpus, bundle, two_level_agg=True, agg_groups=1_000_000, **kw
+    )
+    assert same["history"] == base["history"]
+    for name, arr in base["bundle"]["arrays"].items():
+        assert np.array_equal(same["bundle"]["arrays"][name], arr), name
+    # real pre-summing: groups of partitions fold executor-side first
+    two = train_full_network(
+        spark, corpus, bundle, two_level_agg=True, agg_groups=2, **kw
+    )
+    assert [h["n_tokens"] for h in two["history"]] == [h["n_tokens"] for h in base["history"]]
+    for h2, hb in zip(two["history"], base["history"]):
+        assert h2["loss"] == pytest.approx(hb["loss"], rel=1e-9)
+    for name, arr in base["bundle"]["arrays"].items():
+        np.testing.assert_allclose(
+            two["bundle"]["arrays"][name], arr, rtol=1e-6, atol=1e-7, err_msg=name
+        )
+
+
 def test_full_network_train_chars(spark):
     """Literal train-from-scratch parity: with train_chars=True the
     char Bi-LSTM + char embeddings move too, loss still decreases, and
