@@ -43,7 +43,7 @@ def simhash_exploded(docs, bits=16):
     per_bit = bit_rows.groupBy("doc_id", "bit").agg(F.sum("s").alias("s"))
     return per_bit.groupBy("doc_id").agg(
         F.sum(
-            F.when(F.col("s") > 0, F.shiftleft(F.lit(1).cast("long"), F.col("bit"))).otherwise(
+            F.when(F.col("s") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).otherwise(
                 F.lit(0).cast("long")
             )
         ).alias("simhash")

@@ -261,6 +261,15 @@ def test_near_dedup_corpus_end_to_end_with_giant_cluster(spark):
     assert out[n_clones + 2]["component"] == n_clones + 2
     # the deduplicated corpus is exactly the keep=true rows
     assert sum(1 for r in out.values() if r["keep"]) == 3
+    # production hash path (xxhash64): identical component structure —
+    # the cluster memberships don't depend on the hash family
+    fast = {
+        r["doc_id"]: r
+        for r in near_dedup_corpus(docs, max_bucket=100, fast_hash=True).collect()
+    }
+    assert {d: r["component"] for d, r in fast.items()} == {
+        d: r["component"] for d, r in out.items()
+    }
 
 
 def test_lsh_hot_bucket_cap_bounds_pairs(spark):
