@@ -149,7 +149,23 @@ def main() -> None:
         f"| {c['k']} | {c['agg_rate']} | {c['speedup']}x |" for c in calib
     )
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # PRESERVE the history sections later rounds appended after this
+    # script's own template (everything from the first '## ' heading
+    # that is not part of the template below) — a re-measure must not
+    # clobber recorded evidence
+    md_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    appended = ""
+    if os.path.exists(md_path):
+        old = open(md_path).read()
+        own_headings = ("## Hardware calibration",)
+        pos = None
+        for m in __import__("re").finditer(r"^## .*$", old, flags=__import__("re").M):
+            if not any(m.group(0).startswith(h) for h in own_headings):
+                pos = m.start()
+                break
+        if pos is not None:
+            appended = old[pos:]
+    with open(md_path, "w") as f:
         f.write(
             f"""# BENCH/BASELINE — scaling evidence (north_rule gate)
 
@@ -188,6 +204,7 @@ sentence per `sess.run` (batch size 1), est. 10-100 sentences/sec/CPU.
 This engine tags {r32["docs_per_sec"]} docs/sec (~{round(r32["n_tokens"]/max(r32["n_docs"],1))} tokens/doc)
 at local[{4*n}] including tokenization and shuffle.
 """
+            + appended
         )
     print(json.dumps(result))
 
