@@ -77,6 +77,23 @@ def main() -> None:
     print(f"\n=== training epoch ===\nExchange nodes above cache: {n_exchange}")
     assert n_exchange == 1, f"epoch plan has {n_exchange} Exchanges above the cache (want 1):\n{above_cache}"
     sentences.unpersist()
+    # r4: the near-dup composition must stay equi-join-only — a
+    # cartesian/nested-loop anywhere in the pair path would be the
+    # quadratic killer at corpus scale
+    from neuroner_spark.operators.dedup import band_pairs_from_banded, minhash_banded
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pairs = band_pairs_from_banded(minhash_banded(docs), 1000)
+    show("minhash_band_pairs", pairs)
+    pplan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in pplan, "pair generation planned a cartesian product"
+    assert "BroadcastNestedLoopJoin" not in pplan, "pair generation planned a nested loop"
+    # decontamination: eval-set side must broadcast (LeftSemi BHJ)
+    from neuroner_spark.plans.catalog_text import q_dedup_contamination
+
+    cont = q_dedup_contamination(spark, sf)
+    cplan = cont._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in cplan, "contamination lost its broadcast join"
     print("\nall plan assertions passed")
 
 

@@ -272,6 +272,39 @@ def test_near_dedup_corpus_end_to_end_with_giant_cluster(spark):
     }
 
 
+def test_near_dedup_corpus_invariants_random(spark):
+    """Structural invariants on a random small-vocab corpus (lots of
+    accidental near-dups): exactly one row per doc; component is the
+    min id of its cluster; keep <=> doc_id == component; every
+    component representative keeps itself."""
+    import random
+
+    from neuroner_spark.operators.dedup import near_dedup_corpus
+
+    rng = random.Random(42)
+    vocab = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 12))))
+        for i in range(120)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = near_dedup_corpus(docs, max_bucket=10).collect()
+    assert len(out) == 120
+    assert sorted(r["doc_id"] for r in out) == list(range(120))
+    comp = {r["doc_id"]: r["component"] for r in out}
+    keep = {r["doc_id"]: r["keep"] for r in out}
+    for d in comp:
+        assert comp[d] <= d  # component label is a min
+        assert comp[comp[d]] == comp[d]  # representative is its own root
+        assert keep[d] == (d == comp[d])
+    # min-of-cluster: within each component, the label equals the min member
+    clusters: dict[int, list[int]] = {}
+    for d, c in comp.items():
+        clusters.setdefault(c, []).append(d)
+    for c, members in clusters.items():
+        assert min(members) == c
+
+
 def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     """Same guard on the hyperplane-LSH pair generator."""
     from neuroner_spark.operators.similarity import lsh_bucket_pairs, lsh_giant_buckets
