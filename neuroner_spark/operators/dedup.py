@@ -257,6 +257,20 @@ def near_dedup_corpus(
     quadratic blow-up cannot occur while their members still dedup.
     """
     banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash).localCheckpoint()
+    # no-silent-caps (r3 ADVICE): the banded frame is already
+    # materialized, so counting the over-cap buckets costs one tiny agg
+    # job — a capped run announces itself without querying side outputs
+    n_giants = giant_buckets_from_banded(banded, max_bucket).count()
+    if n_giants:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "near_dedup_corpus: %d bucket(s) over max_bucket=%s folded in as "
+            "star-edge clusters (no pairs emitted for them); "
+            "giant_buckets_from_banded lists them",
+            n_giants,
+            max_bucket,
+        )
     all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     return near_dedup_from_banded(banded, all_docs, max_bucket)
 

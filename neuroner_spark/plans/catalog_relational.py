@@ -403,11 +403,12 @@ SELECT nationkey, 'except' AS op FROM (
 
 # --- distinct aggregation
 def q_distinct_users(spark, sf_dir):
-    """A2 cardinalities + F9 JSON props extraction, tag-merged into one
-    events groupBy (driver 50-query budget — freed the slot
-    ``dedup_near_corpus`` now occupies): per event_type, distinct
-    users, event count, and avg/max of the JSON ``$.k`` prop.  One
-    scan, one shuffle."""
+    """A2 cardinalities + F9 JSON props + median/stddev stats,
+    tag-merged into ONE events groupBy (driver 50-query budget — the
+    freed slots are what ``dedup_near_corpus`` and ``dup_spans``
+    occupy): per event_type, distinct users, event count, avg/max of
+    the JSON ``$.k`` prop, and the value distribution (median, sample
+    stddev, min, max).  One scan, one shuffle."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.withColumn("k", F.get_json_object("props", "$.k").cast("int"))
@@ -417,6 +418,10 @@ def q_distinct_users(spark, sf_dir):
             F.count("*").alias("n_events"),
             F.round(F.avg("k"), 4).alias("avg_k"),
             F.max("k").alias("max_k"),
+            F.round(F.median("value"), 4).alias("med"),
+            F.round(F.stddev_samp("value"), 4).alias("sd"),
+            F.round(F.min("value"), 2).alias("lo"),
+            F.round(F.max("value"), 2).alias("hi"),
         )
     )
 
@@ -424,7 +429,11 @@ def q_distinct_users(spark, sf_dir):
 SQL_DISTINCT_USERS = """
 SELECT event_type, count(DISTINCT user_id) AS n_users, count(*) AS n_events,
        round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k,
-       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+       max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k,
+       round(median(value), 4) AS med,
+       round(stddev_samp(value), 4) AS sd,
+       round(min(value), 2) AS lo,
+       round(max(value), 2) AS hi
 FROM events GROUP BY event_type
 """
 
@@ -591,26 +600,8 @@ FROM events GROUP BY CUBE(event_type, (CAST(user_id % 5 AS BIGINT)))
 
 
 # --- statistical aggregates: median / stddev / min / max
-def q_value_stats(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
-        F.round(F.median("value"), 4).alias("med"),
-        F.round(F.stddev_samp("value"), 4).alias("sd"),
-        F.round(F.min("value"), 2).alias("lo"),
-        F.round(F.max("value"), 2).alias("hi"),
-    )
-
-
-SQL_VALUE_STATS = """
-SELECT event_type,
-       round(median(value), 4) AS med,
-       round(stddev_samp(value), 4) AS sd,
-       round(min(value), 2) AS lo,
-       round(max(value), 2) AS hi
-FROM events GROUP BY event_type
-"""
-
-
+# value_stats merged into the tagged distinct_users frame (r4) —
+# freed the driver slot dup_spans occupies.
 # --- string function battery: case, substr, length, levenshtein, concat
 def q_string_funcs(spark, sf_dir):
     c = _t(spark, sf_dir, "customer")
@@ -664,7 +655,6 @@ QUERIES = {
     "shipping_priority": (q_shipping_priority, SQL_SHIPPING_PRIORITY),
     "local_supplier_volume": (q_local_supplier_volume, SQL_LOCAL_SUPPLIER_VOLUME),
     "events_grouping": (q_events_grouping, SQL_EVENTS_GROUPING),
-    "value_stats": (q_value_stats, SQL_VALUE_STATS),
     "string_funcs": (q_string_funcs, SQL_STRING_FUNCS),
     "region_acctbal": (q_region_acctbal, SQL_REGION_ACCTBAL),
     "customer_order_membership": (q_customer_order_membership, SQL_CUSTOMER_ORDER_MEMBERSHIP),

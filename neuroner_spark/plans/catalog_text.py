@@ -282,6 +282,52 @@ FROM reach GROUP BY node
 """
 
 
+# --- C4-style duplicated-span detection (Raffel et al. 2020 §2.2) as
+# a driver query (upgraded r4 from pytest-only; slot freed by merging
+# value_stats into distinct_users).
+def q_dup_spans(spark, sf_dir):
+    from neuroner_spark.operators.dedup import duplicated_spans
+
+    return duplicated_spans(_docs(spark, sf_dir), n_sents=3, min_df=2)
+
+
+# DuckDB is RE2 (no lookbehind), so the Spark sentence split
+# `(?<=[.!?])\s+` is reproduced by rewriting each `[.!?]\s+` boundary
+# to punct + \x01 and splitting on \x01 — byte-equivalent on any text
+# without control chars.
+SQL_DUP_SPANS = """
+WITH sents AS (
+  SELECT doc_id,
+         string_split(regexp_replace(text, '([.!?])\\s+', '\\1' || chr(1), 'g'), chr(1)) AS s
+  FROM documents
+), spans AS (
+  SELECT DISTINCT doc_id,
+         CAST(('0x' || substring(md5(lower(sp)), 1, 15)) AS BIGINT) AS span_hash
+  FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(s) - 1, 1)),
+           i -> concat_ws(' ', s[i], s[i+1], s[i+2]))) AS sp
+    FROM sents WHERE len(s) >= 3
+  )
+), dfc AS (
+  SELECT span_hash, count(*) AS df FROM spans GROUP BY 1
+), dup AS (
+  SELECT doc_id, count(*) AS n_dup FROM spans
+  WHERE span_hash IN (SELECT span_hash FROM dfc WHERE df >= 2) GROUP BY 1
+), tot AS (
+  SELECT doc_id, count(*) AS n_spans FROM spans GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(coalesce(t.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(x.n_dup, 0) AS BIGINT) AS n_dup_spans,
+       CASE WHEN coalesce(t.n_spans, 0) = 0 THEN 0.0
+            ELSE round(coalesce(x.n_dup, 0) / CAST(t.n_spans AS DOUBLE), 6)
+       END AS dup_span_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN tot t ON d.doc_id = t.doc_id
+LEFT JOIN dup x ON d.doc_id = x.doc_id
+"""
+
+
 # --- MinHash signatures (k=8 universal hashes over 28-bit shingle hashes)
 def q_minhash_signatures(spark, sf_dir):
     return minhash_signatures(_docs(spark, sf_dir), n=3)
@@ -447,6 +493,7 @@ QUERIES = {
     "dedup_jaccard": (q_dedup_jaccard, SQL_DEDUP_JACCARD),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
     "dedup_near_corpus": (q_dedup_near_corpus, _near_corpus_sql(2)),
+    "dup_spans": (q_dup_spans, SQL_DUP_SPANS),
     "minhash_signatures": (q_minhash_signatures, _minhash_sql()),
     "simhash": (q_simhash, SQL_SIMHASH),
     "knn_cosine": (q_knn_cosine, SQL_KNN_COSINE),
