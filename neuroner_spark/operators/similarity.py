@@ -239,3 +239,53 @@ def lsh_giant_buckets(
     Output: (table, sig, n_docs, keep_id)."""
     sigs = lsh_all_signatures(embeddings, n_planes, dim, n_tables)
     return lsh_giants_from_signatures(sigs, max_bucket)
+
+
+def near_dedup_vectors(
+    embeddings: DataFrame,
+    n_planes: int = 8,
+    dim: int = 64,
+    n_tables: int = 4,
+    min_cos: float = 0.9,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """END-TO-END embedding near-dup dedup — the vector twin of
+    ``dedup.near_dedup_corpus``: multi-table LSH bucketing (ONE
+    signature scan, checkpointed) -> capped candidate pairs verified by
+    exact cosine -> giant buckets folded in as O(members) star edges ->
+    connected components -> keep one representative (min vec_id).
+
+    Output: (vec_id, component, keep) — one row per vector.  Giant
+    buckets skip the cosine verification (an over-cap bucket is by
+    construction a near-identical pile; verifying 10^6 members
+    pairwise is the exact quadratic this path exists to avoid)."""
+    from neuroner_spark.operators.components import connected_components
+
+    sigs = lsh_all_signatures(embeddings, n_planes, dim, n_tables).localCheckpoint()
+    emb = embeddings.select("vec_id", "embedding")
+    cand = lsh_pairs_from_signatures(sigs, max_bucket)
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("emb_a"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("emb_b"))
+    pairs = (
+        cand.join(ea, "a")
+        .join(eb, "b")
+        .filter(F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6) >= min_cos)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    giants = lsh_giants_from_signatures(sigs, max_bucket)
+    giant_edges = (
+        sigs.join(giants.select("table", "sig", "keep_id"), ["table", "sig"])
+        .filter(F.col("vec_id") != F.col("keep_id"))
+        .select(F.col("vec_id").alias("src"), F.col("keep_id").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(pairs.union(giant_edges))
+    all_vecs = embeddings.select(F.col("vec_id").cast("long")).distinct()
+    comp_or_self = F.coalesce(F.col("component"), F.col("vec_id"))
+    return all_vecs.join(
+        comp.withColumnRenamed("node", "vec_id"), "vec_id", "left"
+    ).select(
+        "vec_id",
+        comp_or_self.alias("component"),
+        (comp_or_self == F.col("vec_id")).alias("keep"),
+    )

@@ -35,6 +35,12 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # runtime skew-join splitting: crawl data is host/boilerplate
+        # skewed by nature; AQE splits an oversized shuffle partition at
+        # the join instead of letting one task straggle (complements the
+        # explicit max_df/max_bucket/max_entities_per_doc caps, which
+        # bound SEMANTIC blowup — this bounds physical partition skew)
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -325,6 +325,36 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     assert all(g["n_docs"] >= n_clones and g["keep_id"] == 0 for g in giants)
 
 
+def test_near_dedup_vectors_end_to_end(spark):
+    """The vector twin of near_dedup_corpus: a 2000-clone embedding
+    cluster dedups to one representative via giant-star edges, a small
+    exact pair dedups via the verified-pair path, random vectors
+    survive as singletons."""
+    from neuroner_spark.operators.similarity import near_dedup_vectors
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(0, 1, 64).astype(np.float32)
+    n_clones = 2000
+    rows = [(i, base.tolist()) for i in range(n_clones)]
+    other = rng.normal(0, 1, 64).astype(np.float32)
+    rows += [(n_clones, other.tolist()), (n_clones + 1, other.tolist())]
+    rows += [
+        (n_clones + 2 + i, rng.normal(0, 1, 64).astype(np.float32).tolist())
+        for i in range(5)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in near_dedup_vectors(emb, max_bucket=100).collect()}
+    assert len(out) == n_clones + 7
+    assert all(out[i]["component"] == 0 for i in range(n_clones))
+    assert out[0]["keep"] is True and not any(out[i]["keep"] for i in range(1, n_clones))
+    assert out[n_clones]["keep"] is True and out[n_clones + 1]["keep"] is False
+    assert out[n_clones + 1]["component"] == n_clones
+    # the 5 random vectors stay singleton keeps (cos < 0.9 w.h.p. at
+    # dim 64 with this seed — deterministic fixture)
+    for i in range(n_clones + 2, n_clones + 7):
+        assert out[i]["keep"] is True and out[i]["component"] == i
+
+
 def test_repetition_metrics_keeps_tiny_docs(spark):
     """Quality gates must not silently drop docs: a one-word doc gets a
     row with null bigram fraction and flagged computed from words only."""
