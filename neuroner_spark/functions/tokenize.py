@@ -244,5 +244,15 @@ def tokenize(
     narrow = docs.select(
         F.col(id_col).cast("string").alias("doc_id"), F.col(text_col).alias("text")
     )
+    # defensive re-shard (salted on doc-id hash, the north-star rule):
+    # a pathologically under-split input — one giant gzip member, a
+    # single-row-group parquet — would otherwise run the WHOLE Arrow
+    # tokenize stage on a handful of tasks (measured: the sf0.1 test
+    # file is one split, serializing the pipeline's dominant CPU
+    # stage).  Well-sharded inputs skip the shuffle entirely.
+    sc = docs.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if narrow.rdd.getNumPartitions() < max(2, target // 2):
+        narrow = narrow.repartition(target, F.xxhash64("doc_id"))
     fn = _tokenize_batches if tokenize_fn is None else _make_custom_batches(tokenize_fn)
     return narrow.mapInPandas(fn, schema=TOKENS_SCHEMA)
