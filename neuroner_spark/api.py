@@ -32,6 +32,12 @@ def predict(spark: SparkSession, texts: str | list[str], bundle: dict, use_crf: 
 
     Returns [{'doc': i, 'text': surface, 'type': T, 'start': s,
     'end': e}, ...] with char offsets into the normalized text.
+
+    DRIVER-SIDE by design: this mirrors the reference's single-text
+    ``n.predict(text)`` contract and collects the spans.  Do NOT loop
+    it over a corpus — the distributed path for bulk tagging is
+    ``plans.kg_pipeline.neural_mentions`` (or ``tag_tokens`` +
+    ``extract_spans`` kept as DataFrames).
     """
     if isinstance(texts, str):
         texts = [texts]
