@@ -355,6 +355,24 @@ def test_near_dedup_vectors_end_to_end(spark):
         assert out[i]["keep"] is True and out[i]["component"] == i
 
 
+def test_sharded_is_conditional(spark):
+    """_sharded re-shards only pathologically under-split inputs: a
+    single-partition frame fans out to defaultParallelism; an already
+    well-sharded frame passes through with NO added exchange."""
+    from neuroner_spark.operators.dedup import _sharded
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
+    )
+    narrow = docs.coalesce(1)
+    out = _sharded(narrow, "doc_id")
+    assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
+    assert out.count() == 100
+    wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    again = _sharded(wide, "doc_id")
+    assert again is wide  # identity — zero plan change for sharded inputs
+
+
 def test_repetition_metrics_keeps_tiny_docs(spark):
     """Quality gates must not silently drop docs: a one-word doc gets a
     row with null bigram fraction and flagged computed from words only."""
