@@ -399,6 +399,64 @@ def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", tex
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame,
+    k: int = 5,
+    w: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Rolling-hash document fingerprints by WINNOWING (Schleimer,
+    Wilkerson & Aiken, SIGMOD 2003 — the MOSS algorithm): hash every
+    character ``k``-gram of the normalized text, then keep the minimum
+    hash of each window of ``w`` consecutive k-gram hashes,
+    de-duplicated.  Guarantee: two documents sharing any substring of
+    length >= w + k - 1 share at least one fingerprint, and
+    fingerprints are LOCAL — an edit only perturbs fingerprints whose
+    windows touch it (unlike the whole-document ``fingerprint``).
+
+    Output: (doc_id, fp) — one row per selected fingerprint, the
+    partial-overlap dedup key family (plagiarism / quotation / mirror
+    detection, finer-grained than shingle Jaccard).
+
+    Shape: the k-gram hashing and windowed-min selection happen INSIDE
+    one row via higher-order functions (transform + array_min +
+    array_distinct) — whole-stage-codegen'd, no UDF, no shuffle until
+    the output explode; the result is shuffled only by whatever
+    consumes it (typically a groupBy(fp) equi-join, linear like the
+    shingle paths, never all-pairs)."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    n_grams = F.length(norm) - F.lit(k - 1)
+    kgrams = F.when(
+        n_grams > 0,
+        F.transform(
+            F.sequence(F.lit(1), n_grams),
+            lambda i: hash64(norm.substr(i, F.lit(k)), fast=fast_hash),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    docs2 = _sharded(docs, id_col).select(
+        F.col(id_col).alias("doc_id"), kgrams.alias("_kh")
+    )
+    n_windows = F.size(F.col("_kh")) - F.lit(w - 1)
+    selected = F.when(
+        n_windows > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), n_windows),
+                lambda i: F.array_min(F.slice(F.col("_kh"), i, w)),
+            )
+        ),
+        # short docs (fewer than w k-grams): keep the global min so no
+        # doc is silently unfingerprinted (standard winnowing practice)
+    ).otherwise(
+        F.when(F.size(F.col("_kh")) > 0, F.array(F.array_min(F.col("_kh")))).otherwise(
+            F.array().cast("array<long>")
+        )
+    )
+    return docs2.select("doc_id", F.explode(selected).alias("fp"))
+
+
 def benchmark_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

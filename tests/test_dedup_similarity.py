@@ -355,6 +355,50 @@ def test_near_dedup_vectors_end_to_end(spark):
         assert out[i]["keep"] is True and out[i]["component"] == i
 
 
+def test_winnowing_fingerprints(spark):
+    """Winnowing guarantees (Schleimer et al. 2003): docs sharing a
+    substring of length >= w+k-1 share >= 1 fingerprint; fingerprints
+    are local (an edit far from a shared region keeps its prints); a
+    too-short doc still gets its global-min print (no silent drop)."""
+    from neuroner_spark.operators.dedup import winnowing_fingerprints
+
+    k, w = 5, 4
+    shared = "the winnowing algorithm selects minimum hashes per window"
+    rows = [
+        (0, "prefix one talks about stars. " + shared + " and then ends."),
+        (1, "a totally different lead-in here; " + shared + " closing words differ."),
+        (2, "no overlap with anything else in this corpus at all, honestly."),
+        (3, "tinydoc"),  # >= k chars but < k+w-1: global-min fallback
+        (4, "tiny"),  # shorter than k: no k-grams, zero rows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = winnowing_fingerprints(docs, k=k, w=w).collect()
+    by_doc: dict[int, set] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["fp"])
+    # guarantee: 0 and 1 share the long substring -> >= 1 common print
+    assert by_doc[0] & by_doc[1]
+    # locality/no-false-share: doc 2 shares nothing that long with 0
+    assert not (by_doc[0] & by_doc[2]) or len(by_doc[0] & by_doc[2]) < len(by_doc[0] & by_doc[1])
+    # short doc fallback emits exactly its global min; sub-k doc emits nothing
+    assert len(by_doc[3]) == 1
+    assert 4 not in by_doc
+    # locality: editing the PREFIX of doc 0 keeps the shared-region prints
+    edited = spark.createDataFrame(
+        [(10, "changed start entirely, different words. " + shared + " and then ends.")],
+        "doc_id long, text string",
+    )
+    eout = {r["fp"] for r in winnowing_fingerprints(edited, k=k, w=w).collect()}
+    assert by_doc[0] & eout  # prints from the untouched shared region survive
+    # fast_hash production path: same SELECTION structure (row counts
+    # per doc equal — values differ by hash family)
+    fast = winnowing_fingerprints(docs, k=k, w=w, fast_hash=True).collect()
+    n_by_doc: dict[int, int] = {}
+    for r in fast:
+        n_by_doc[r["doc_id"]] = n_by_doc.get(r["doc_id"], 0) + 1
+    assert n_by_doc[3] == 1 and 4 not in n_by_doc
+
+
 def test_sharded_is_conditional(spark):
     """_sharded re-shards only pathologically under-split inputs: a
     single-partition frame fans out to defaultParallelism; an already
