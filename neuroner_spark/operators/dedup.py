@@ -555,3 +555,93 @@ def duplicated_spans(
             .alias("dup_span_frac"),
         )
     )
+
+
+def remove_duplicated_spans(
+    docs: DataFrame,
+    n_sents: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """C4's ACTUAL remedy (Raffel et al. 2020 §2.2: 'we discarded all
+    but one of any three-sentence span occurring more than once'):
+    keep the first occurrence (min (doc_id, position)) of every
+    duplicated ``n_sents``-sentence span, delete the sentences of
+    every other occurrence, and rebuild each document's text.
+
+    Output: (doc_id, text, n_removed_sentences) — one row per input
+    doc; untouched docs return with n_removed_sentences = 0.  Rebuilt
+    text joins sentences with a single space (inter-sentence
+    whitespace normalizes, sentence bytes are preserved).
+
+    Plan shape: shuffles are keyed by span_hash (occurrence min/count)
+    and doc_id (sentence reassembly) — linear in corpus size, never
+    doc-pairs; the sentence table is built once and reused for the
+    anti-join + rebuild.  Removal is idempotent: a second pass finds
+    no duplicated spans (tested)."""
+    sharded = _sharded(docs, id_col)
+    sents_tbl = sharded.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode(F.split(F.col(text_col), r"(?<=[.!?])\s+")).alias("sidx", "sentence"),
+    )
+    spans_arr = F.split(F.col(text_col), r"(?<=[.!?])\s+")
+    count = F.size(spans_arr) - F.lit(n_sents - 1)
+    occ = sharded.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(count > 0, F.sequence(F.lit(0), count - 1))
+        .otherwise(F.array().cast("array<int>"))
+        .alias("_is"),
+        spans_arr.alias("_s"),
+    ).select(
+        "doc_id",
+        F.explode("_is").alias("sidx0"),
+        "_s",
+    ).select(
+        "doc_id",
+        "sidx0",
+        hash64(
+            F.lower(F.array_join(F.slice(F.col("_s"), F.col("sidx0") + 1, n_sents), " ")),
+            fast=fast_hash,
+        ).alias("span_hash"),
+    )
+    firsts = occ.groupBy("span_hash").agg(
+        F.count("*").alias("n_occ"), F.min(F.struct("doc_id", "sidx0")).alias("_keep")
+    )
+    to_remove_occ = (
+        occ.join(firsts.filter(F.col("n_occ") >= 2), "span_hash")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("_keep.doc_id"))
+                & (F.col("sidx0") == F.col("_keep.sidx0"))
+            )
+        )
+        .select("doc_id", "sidx0")
+    )
+    remove_sents = to_remove_occ.select(
+        "doc_id", F.explode(F.sequence(F.col("sidx0"), F.col("sidx0") + n_sents - 1)).alias("sidx")
+    ).distinct()
+    kept = sents_tbl.join(remove_sents, ["doc_id", "sidx"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("sidx", "sentence"))),
+                lambda s: s["sentence"],
+            ),
+            " ",
+        ).alias("_text"),
+        F.count("*").alias("_n_kept"),
+    )
+    totals = sents_tbl.groupBy("doc_id").agg(F.count("*").alias("_n_sents"))
+    all_docs = docs.select(F.col(id_col).cast(docs.schema[id_col].dataType).alias("doc_id")).distinct()
+    return (
+        all_docs.join(rebuilt, "doc_id", "left")
+        .join(totals, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_text", F.lit("")).alias(text_col),
+            (F.coalesce("_n_sents", F.lit(0)) - F.coalesce("_n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed_sentences"),
+        )
+    )

@@ -22,6 +22,8 @@ Stage graph (all DataFrame -> DataFrame; Iceberg commits in prod):
     -> near_components   capped pairs + giant star edges -> connected
                          components -> (doc_id, component, keep)
     -> near_deduped      keep=true docs
+    -> span_cleaned      C4 duplicated-span REMOVAL, text rebuilt
+                         (optional, remove_dup_spans=True)
     -> contamination     per-doc benchmark n-gram overlap (optional)
     -> quality           quality_score + Gopher repetition flags
     -> corpus            the surviving training corpus
@@ -71,6 +73,8 @@ def run_corpus_prep(
     contamination_n: int = 8,
     contamination_threshold: float = 0.05,
     min_quality: float = 0.5,
+    remove_dup_spans: bool = False,
+    span_n_sents: int = 3,
     fast_hash: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -125,12 +129,29 @@ def run_corpus_prep(
             "left_semi",
         ),
     )
+    fp_doc_set = fp_cap
+    if remove_dup_spans:
+        # C4 §2.2 remedy stage: delete every non-first occurrence of a
+        # duplicated span and rebuild the text.  Downstream gates run
+        # on the CLEANED text, so their fingerprints chain through it.
+        from neuroner_spark.operators.dedup import remove_duplicated_spans as _rm_spans
+
+        fp_doc_set = fp_cap + f"|spanrm:n={span_n_sents}"
+        near_in = near
+
+        def _span_clean() -> DataFrame:
+            cleaned = _rm_spans(
+                near_in, n_sents=span_n_sents, id_col=id_col, text_col=text_col, fast_hash=fast_hash
+            ).withColumnRenamed("doc_id", id_col)
+            return near_in.drop(text_col).join(cleaned, id_col)
+
+        near = stage("span_cleaned", fp_doc_set, _span_clean)
     contamination = None
-    fp_final = fp_cap
+    fp_final = fp_doc_set
     if benchmark is not None:
         fp_bench = _fingerprint(benchmark.select(text_col), "bench")
         fp_contam = (
-            fp_cap + f"|contam:{fp_bench}:n={contamination_n}:t={contamination_threshold}"
+            fp_doc_set + f"|contam:{fp_bench}:n={contamination_n}:t={contamination_threshold}"
         )
         contamination = stage(
             "contamination",
@@ -149,7 +170,7 @@ def run_corpus_prep(
         fp_final = fp_contam
     quality = stage(
         "quality",
-        fp_cap + "|quality",
+        fp_doc_set + "|quality",
         lambda: repetition_metrics(near, id_col=id_col, text_col=text_col)
         .withColumnRenamed("flagged", "repetition_flagged")
         # repetition_metrics emits doc_id as string (its oracle

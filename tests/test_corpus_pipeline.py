@@ -130,6 +130,38 @@ def test_corpus_prep_lineage_and_giant_visibility(prep_out):
         assert json.load(f)["stage"] == "giant_buckets"
 
 
+def test_corpus_prep_span_removal_stage(spark, tmp_path):
+    """remove_dup_spans=True inserts the C4 removal stage: the
+    non-first occurrence of a duplicated 3-sentence block is excised
+    from the surviving doc's text, and downstream gates run on the
+    cleaned text."""
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    block = "Shared sentence alpha one. Shared sentence beta two! Shared sentence gamma three?"
+    filler0 = (
+        "this document keeps talking about rivers and bridges in several more words "
+        "so that the quality gate sees enough tokens and variety overall."
+    )
+    filler1 = (
+        "meanwhile a second article discusses markets and weather patterns with "
+        "plenty of other vocabulary to keep the near-dup stage far from matching."
+    )
+    rows = [
+        (0, "Opening statement for doc zero. " + block + " " + filler0),
+        (1, "Different opening for doc one entirely. " + block + " " + filler1 + " Extra tail."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "prep")
+    res = run_corpus_prep(spark, docs, out_dir, remove_dup_spans=True, max_bucket=100)
+    stages = [m["stage"] for m in res["lineage"]]
+    assert "span_cleaned" in stages
+    kept = {r["doc_id"]: r for r in res["near_deduped"].collect()}
+    assert "Shared sentence beta two!" in kept[0]["text"]
+    assert "Shared sentence beta two!" not in kept[1]["text"]
+    assert kept[1]["n_removed_sentences"] == 3
+    assert "Extra tail." in kept[1]["text"]
+
+
 def test_corpus_prep_resume_and_invalidation(spark, prep_out):
     from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
 

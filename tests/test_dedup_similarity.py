@@ -355,6 +355,41 @@ def test_near_dedup_vectors_end_to_end(spark):
         assert out[i]["keep"] is True and out[i]["component"] == i
 
 
+def test_remove_duplicated_spans_c4(spark):
+    """C4 §2.2 removal semantics: of a duplicated 3-sentence span, the
+    first occurrence (min doc, then min position) survives; every
+    other occurrence's sentences are deleted and the doc text rebuilt;
+    untouched docs pass through; the operation is idempotent."""
+    from neuroner_spark.operators.dedup import duplicated_spans, remove_duplicated_spans
+
+    block = "First shared one. Second shared two! Third shared three?"
+    rows = [
+        (0, "Unique opening here. " + block + " Unique closing there."),
+        (1, "Other intro sentence. " + block + " Other outro sentence."),
+        (2, "Nothing duplicated at all. Just two sentences."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n_sents=3).collect()}
+    assert len(out) == 3
+    # doc 0 keeps the block (first occurrence); doc 2 untouched
+    assert "Second shared two!" in out[0]["text"]
+    assert out[2]["text"] == rows[2][1] and out[2]["n_removed_sentences"] == 0
+    # doc 1 loses exactly the three shared sentences, keeps its own
+    assert "Second shared two!" not in out[1]["text"]
+    assert "Other intro sentence." in out[1]["text"]
+    assert "Other outro sentence." in out[1]["text"]
+    assert out[1]["n_removed_sentences"] == 3
+    # idempotence: a second pass removes nothing
+    cleaned = spark.createDataFrame(
+        [(d, r["text"]) for d, r in out.items()], "doc_id long, text string"
+    )
+    again = remove_duplicated_spans(cleaned, n_sents=3).collect()
+    assert all(r["n_removed_sentences"] == 0 for r in again)
+    # and the detector agrees the cleaned corpus is dup-free
+    det = duplicated_spans(cleaned, n_sents=3).collect()
+    assert all(r["n_dup_spans"] == 0 for r in det)
+
+
 def test_winnowing_fingerprints(spark):
     """Winnowing guarantees (Schleimer et al. 2003): docs sharing a
     substring of length >= w+k-1 share >= 1 fingerprint; fingerprints
