@@ -79,6 +79,24 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
     return out
 
 
+def lang_guess(text: Column) -> Column:
+    """Argmax language over the stopword-overlap scores, deterministic
+    tie-break en > de > es > fr (the same rule the ``lang_id`` oracle
+    pins).  One pass over the token array, pure column expressions."""
+    scores = dict(lang_scores(text))
+    return (
+        F.when(
+            (scores["en"] >= scores["de"])
+            & (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"]),
+            F.lit("en"),
+        )
+        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
+        .when(scores["es"] >= scores["fr"], F.lit("es"))
+        .otherwise(F.lit("fr"))
+    )
+
+
 def fingerprint(text: Column) -> Column:
     """Document fingerprint: md5 of the lowercase, whitespace-collapsed
     text (exact-dedup key; md5 is identical in Spark and DuckDB)."""

@@ -15,7 +15,6 @@ from neuroner_spark.functions.text_analysis import (
     STOPWORDS,
     avg_token_len,
     fingerprint,
-    lang_scores,
     n_regex_tokens,
     n_ws_tokens,
     punct_ratio,
@@ -80,19 +79,11 @@ FROM base
 
 # --- language-ID heuristic: stopword-overlap scores -> confusion vs tagged lang
 def q_lang_id(spark, sf_dir):
+    from neuroner_spark.functions.text_analysis import lang_guess
+
     d = _docs(spark, sf_dir)
-    scores = {lang: score for lang, score in lang_scores(F.col("text"))}
-    guess = (
-        F.when(
-            (scores["en"] >= scores["de"]) & (scores["en"] >= scores["es"]) & (scores["en"] >= scores["fr"]),
-            F.lit("en"),
-        )
-        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
-        .when(scores["es"] >= scores["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
     return (
-        d.select(F.col("lang"), guess.alias("guess"))
+        d.select(F.col("lang"), lang_guess(F.col("text")).alias("guess"))
         .groupBy("lang", "guess")
         .agg(F.count("*").alias("n"))
     )

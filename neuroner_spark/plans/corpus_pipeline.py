@@ -15,6 +15,8 @@ Stage graph (all DataFrame -> DataFrame; Iceberg commits in prod):
 
   docs(doc_id, text, ...)
     -> exact_deduped     keep min doc_id per md5 fingerprint
+    -> lang_gate         CCNet-style language filter (optional,
+                         keep_lang='en'; cheapest gate runs first)
     -> banded            MinHash band hashes — THE shared scan: pairs,
                          giant buckets, and components all derive from
                          this one materialization
@@ -73,6 +75,7 @@ def run_corpus_prep(
     contamination_n: int = 8,
     contamination_threshold: float = 0.05,
     min_quality: float = 0.5,
+    keep_lang: str | None = None,
     remove_dup_spans: bool = False,
     span_n_sents: int = 3,
     fast_hash: bool = False,
@@ -105,7 +108,22 @@ def run_corpus_prep(
         return _write_stage(build(), out_dir, name, fp, lineage)
 
     exact = stage("exact_deduped", fp_docs + "|exact", lambda: exact_dedup_keep(docs, id_col, text_col))
-    fp_band = fp_docs + f"|exact|band:n={n}:b={bands}:fast={fast_hash}"
+    fp_base = fp_docs + "|exact"
+    if keep_lang is not None:
+        # CCNet-style language gate, FIRST of the content gates: one
+        # token-array pass per doc, so foreign-language pages never pay
+        # for shingling/banding downstream.  Manifest row counts make
+        # the drop visible (n_rows vs exact_deduped's).
+        from neuroner_spark.functions.text_analysis import lang_guess
+
+        fp_base += f"|lang={keep_lang}"
+        exact_in = exact
+        exact = stage(
+            "lang_gate",
+            fp_base,
+            lambda: exact_in.filter(lang_guess(F.col(text_col)) == keep_lang),
+        )
+    fp_band = fp_base + f"|band:n={n}:b={bands}:fast={fast_hash}"
     banded = stage(
         "banded", fp_band, lambda: minhash_banded(exact, n, bands, id_col, text_col, fast_hash)
     )

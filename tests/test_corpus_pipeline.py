@@ -162,6 +162,29 @@ def test_corpus_prep_span_removal_stage(spark, tmp_path):
     assert "Extra tail." in kept[1]["text"]
 
 
+def test_corpus_prep_lang_gate(spark, tmp_path):
+    """keep_lang inserts the CCNet-style gate right after exact dedup:
+    the German page never reaches banding/components; the English
+    pages flow through unchanged."""
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    rows = [
+        (0, CLEAN[0]),
+        (1, CLEAN[1]),
+        (2, "der hund und die katze sind nicht mit dem mann auf das feld gegangen und es war gut"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "prep")
+    res = run_corpus_prep(spark, docs, out_dir, keep_lang="en", max_bucket=100)
+    by = {m["stage"]: m for m in res["lineage"]}
+    assert by["exact_deduped"]["n_rows"] == 3
+    assert by["lang_gate"]["n_rows"] == 2
+    comp_ids = sorted(r["doc_id"] for r in res["components"].collect())
+    assert comp_ids == [0, 1]
+    kept = sorted(r["doc_id"] for r in res["corpus"].collect())
+    assert kept == [0, 1]
+
+
 def test_corpus_prep_resume_and_invalidation(spark, prep_out):
     from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
 
