@@ -241,6 +241,53 @@ def lsh_giant_buckets(
     return lsh_giants_from_signatures(sigs, max_bucket)
 
 
+def embedding_blocked_pairs(
+    embeddings: DataFrame,
+    block_col: str = "label",
+    min_cos: float = 0.2,
+    max_block: int | None = 1000,
+) -> DataFrame:
+    """Exact-cosine near-dup pairs within metadata blocks, block size
+    CAPPED: pairing is quadratic per block, and a hot block (one
+    dominant label/language/domain at web scale) would otherwise emit
+    |block|²/2 pairs — the same r2-class hole the shingle/band/bucket
+    generators close with ``max_bucket`` (found superlinear at a 10x
+    sweep: 10x vectors -> 108x pairs before the cap).  Blocks over
+    ``max_block`` are NOT paired; they surface via
+    ``embedding_giant_blocks`` and belong on the LSH/components path
+    (``near_dedup_vectors``), which handles them linearly.
+    Output: (block_col, a, b, cos_sim) with a < b, cos >= min_cos."""
+    from neuroner_spark.operators.dedup import _capped_buckets
+
+    narrow = embeddings.select("vec_id", block_col, "embedding")
+    kept, _ = _capped_buckets(
+        narrow.select("vec_id", block_col), [block_col], max_block, id_col="vec_id"
+    )
+    in_cap = narrow.join(kept.select("vec_id"), "vec_id", "left_semi")
+    a = in_cap.select(F.col("vec_id").alias("a"), block_col, F.col("embedding").alias("emb_a"))
+    b = in_cap.select(F.col("vec_id").alias("b"), block_col, F.col("embedding").alias("emb_b"))
+    pairs = a.join(b, block_col).filter(F.col("a") < F.col("b"))
+    return (
+        pairs.select(
+            block_col, "a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim")
+        )
+        .filter(F.col("cos_sim") >= min_cos)
+    )
+
+
+def embedding_giant_blocks(
+    embeddings: DataFrame, block_col: str = "label", max_block: int | None = 1000
+) -> DataFrame:
+    """Side output for ``embedding_blocked_pairs``' cap: the over-cap
+    blocks.  Output: (block_col, n_docs, keep_id)."""
+    from neuroner_spark.operators.dedup import _capped_buckets
+
+    _, giants = _capped_buckets(
+        embeddings.select("vec_id", block_col), [block_col], max_block, id_col="vec_id"
+    )
+    return giants
+
+
 def near_dedup_vectors(
     embeddings: DataFrame,
     n_planes: int = 8,

@@ -444,21 +444,17 @@ FROM dots GROUP BY vec_id
 """
 
 
-# --- embedding-cosine near-dup pairs, label-blocked (the brief's
-# embedding near-dup dedup; blocking key keeps the join linear per block)
+# --- embedding-cosine near-dup pairs, label-blocked with a block-size
+# cap (r4: the uncapped block join measured 108x pairs at 10x data —
+# same quadratic family the shingle/band caps guard). max_block=1000
+# is far above every sf0.01/sf0.1 block, so the DuckDB oracle (which
+# models no cap) stays value-identical at driver scales; over-cap
+# blocks at web scale route to near_dedup_vectors' LSH path.
 def q_dedup_embedding(spark, sf_dir):
-    from neuroner_spark.operators.similarity import cosine
+    from neuroner_spark.operators.similarity import embedding_blocked_pairs
 
     emb = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
-    a = emb.select(F.col("vec_id").alias("a"), "label", F.col("embedding").alias("emb_a"))
-    b = emb.select(F.col("vec_id").alias("b"), "label", F.col("embedding").alias("emb_b"))
-    pairs = a.join(b, "label").filter(F.col("a") < F.col("b"))
-    return (
-        pairs.select(
-            "label", "a", "b", F.round(cosine(F.col("emb_a"), F.col("emb_b")), 6).alias("cos_sim")
-        )
-        .filter(F.col("cos_sim") >= 0.2)
-    )
+    return embedding_blocked_pairs(emb, block_col="label", min_cos=0.2, max_block=1000)
 
 
 SQL_DEDUP_EMBEDDING = """

@@ -325,6 +325,37 @@ def test_lsh_hot_bucket_cap_bounds_pairs(spark):
     assert all(g["n_docs"] >= n_clones and g["keep_id"] == 0 for g in giants)
 
 
+def test_embedding_blocked_pairs_cap(spark):
+    """The label-block pair generator must bound its quadratic term
+    like every other candidate generator: a 3000-member hot label
+    emits ZERO pairs (routed to the giant-block side output), small
+    blocks still pair normally."""
+    from neuroner_spark.operators.similarity import (
+        embedding_blocked_pairs,
+        embedding_giant_blocks,
+    )
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(0, 1, 16).astype(np.float32)
+    rows = [(i, "hot", base.tolist()) for i in range(3000)]
+    rows += [
+        (3000, "cool", base.tolist()),
+        (3001, "cool", base.tolist()),
+        (3002, "cool", rng.normal(0, 1, 16).astype(np.float32).tolist()),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label string, embedding array<float>")
+    pairs = embedding_blocked_pairs(emb, max_block=100, min_cos=0.9).collect()
+    # uncapped, the hot label alone would emit ~4.5M pairs
+    assert 0 < len(pairs) < 10
+    assert all(r["label"] == "cool" for r in pairs)
+    assert any(r["a"] == 3000 and r["b"] == 3001 for r in pairs)
+    giants = embedding_giant_blocks(emb, max_block=100).collect()
+    assert len(giants) == 1
+    assert giants[0]["label"] == "hot" and giants[0]["n_docs"] == 3000 and giants[0]["keep_id"] == 0
+    # cap=None restores uncapped semantics
+    assert embedding_giant_blocks(emb, max_block=None).count() == 0
+
+
 def test_near_dedup_vectors_end_to_end(spark):
     """The vector twin of near_dedup_corpus: a 2000-clone embedding
     cluster dedups to one representative via giant-star edges, a small
