@@ -114,6 +114,16 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Near-dup pairs by exact n-gram Jaccard, candidates from a
     shingle equi-join. Output: (a, b, jaccard) with a < b.
+
+    Output-size caveat (measured at a 10x-clone sweep): this is the
+    EXACT-verification generator — its output is the true pair set, so
+    a clone-heavy corpus yields quadratically many genuine pairs per
+    duplicate cluster (k clones = k(k-1)/2 pairs, all jaccard 1.0).
+    That is correct but wasteful; the pipeline answer is to run
+    ``exact_dedup`` FIRST (as ``run_corpus_prep`` does) so identical
+    texts collapse before pairing, and to use ``near_dedup_corpus``
+    (components + keep-one, linear in cluster size) when the goal is
+    the deduplicated corpus rather than the pair list.
     """
     sh = shingles(docs, n, id_col, text_col, fast_hash).cache()
     df_counts = sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
