@@ -285,7 +285,9 @@ def near_dedup_corpus(
     # no-silent-caps (r3 ADVICE): the banded frame is already
     # materialized, so counting the over-cap buckets costs one tiny agg
     # job — a capped run announces itself without querying side outputs
-    n_giants = giant_buckets_from_banded(banded, max_bucket).count()
+    n_giants = (
+        giant_buckets_from_banded(banded, max_bucket).count() if max_bucket is not None else 0
+    )
     if n_giants:
         import logging
 
