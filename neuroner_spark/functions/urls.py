@@ -26,10 +26,18 @@ _TRACKING = r"(?<=[?&])(utm_[a-z]+|gclid|fbclid|ref)=[^&#]*"
 def url_host(url: Column) -> Column:
     """Lowercased host, ``www.`` and any ``:port`` stripped (a port
     would corrupt the label slicing in ``url_domain``: bbc.co.uk:8080
-    must parse like bbc.co.uk, not like a host ending in 'uk:8080')."""
+    must parse like bbc.co.uk, not like a host ending in 'uk:8080').
+
+    The ``www.`` strip is CONDITIONAL on the host not being a PSL
+    exception rule itself: ``www.ck`` (the ``!www.ck`` rule) is a
+    registrable domain whose first label happens to be 'www', so
+    stripping it would turn a registrable host into the bare wildcard
+    TLD and ``url_domain``'s exception branch could never fire."""
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
     host = F.regexp_replace(host, r":\d+$", "")
-    return F.regexp_replace(host, r"^www\.", "")
+    return F.when(host.isin(TLD_EXCEPTIONS), host).otherwise(
+        F.regexp_replace(host, r"^www\.", "")
+    )
 
 
 # Trimmed snapshot of the Mozilla Public Suffix List (public data,

@@ -474,7 +474,12 @@ def train_full_network(
     (~1.9 GB/epoch of driver fan-in otherwise).  With
     ``agg_groups >= n_partitions`` the path is bit-for-bit identical
     to the plain collect (tested); with real pre-summing the result
-    differs only by float64 re-association (~1e-15 relative).
+    differs only by float64 re-association (~1e-15 relative).  The
+    gradient stage always has exactly ``defaultParallelism``
+    partitions (the per-epoch ``repartition`` above the mapInPandas),
+    so k is clamped to that number — i.e. to the stage's true
+    partition count, keeping the bit-for-bit guarantee reachable by
+    setting ``agg_groups >= spark.sparkContext.defaultParallelism``.
 
     ``eval_tokens`` (optional, (doc_id, sent_id, pos, token, label)):
     the VALIDATION split.  When given, each epoch ends with a tagger
@@ -522,6 +527,10 @@ def train_full_network(
             # spark_partition_id() right after mapInPandas is the SAME
             # partition (narrow op), so grouping is stable and the
             # per-group pid-ordered fold is deterministic.
+            # `raw` has exactly defaultParallelism partitions (the
+            # repartition above is the only exchange), so this clamp
+            # IS the stage's true partition count — agg_groups >=
+            # defaultParallelism reaches the bit-for-bit path.
             k = max(1, min(agg_groups, spark.sparkContext.defaultParallelism))
             rows = (
                 raw.withColumn("pid", F.spark_partition_id())

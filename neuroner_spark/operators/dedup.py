@@ -41,17 +41,24 @@ MINHASH_PARAMS = [
 ]
 
 
-def _sharded(docs: DataFrame, id_col: str) -> DataFrame:
+def ensure_sharded(docs: DataFrame, id_col: str) -> DataFrame:
     """Defensive re-shard for under-split inputs (same rule as
     ``tokenize``): the per-token/shingle hash work below is the map
     side of every dedup operator, and a single-split input (one giant
     file / single-row-group parquet) would run it on one task.
-    Well-sharded inputs return unchanged — no shuffle added at scale."""
+    Well-sharded inputs return unchanged — no shuffle added at scale.
+
+    Public utility — also used by the similarity operators and the
+    relational catalog's document scans."""
     sc = docs.sparkSession.sparkContext
     target = sc.defaultParallelism
     if docs.rdd.getNumPartitions() < max(2, target // 2):
         return docs.repartition(target, F.xxhash64(F.col(id_col)))
     return docs
+
+
+# back-compat alias (pre-r5 name)
+_sharded = ensure_sharded
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -73,7 +80,7 @@ def shingles(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str 
     """
     grams = _gram_array(text_col, n)
     return (
-        _sharded(docs, id_col)
+        ensure_sharded(docs, id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .select("doc_id", hash64(F.col("shingle"), fast=fast_hash).alias("shingle_hash"))
         .distinct()
@@ -96,7 +103,7 @@ def shingles28(docs: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: st
     """Shingles hashed to 28 bits (for minhash universal-hash math)."""
     grams = _gram_array(text_col, n)
     return (
-        _sharded(docs, id_col)
+        ensure_sharded(docs, id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(grams).alias("shingle"))
         .select("doc_id", hash28(F.col("shingle"), fast=fast_hash).alias("shingle_hash"))
         .distinct()
@@ -186,7 +193,7 @@ def minhash_banded(
     )
 
 
-def _capped_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None, id_col: str = "doc_id"):
+def capped_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None, id_col: str = "doc_id"):
     """Split a bucketed frame on bucket size: (within-cap rows,
     over-cap bucket summary).  Pairing a bucket is quadratic in its
     size, and web corpora have ~10^6-member boilerplate duplicate
@@ -194,7 +201,10 @@ def _capped_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None, 
     ``max_bucket`` are therefore never paired; they surface in the
     giant-bucket side output (the whole bucket IS one duplicate
     cluster — downstream keeps min(doc_id) and drops the rest, no
-    pairs needed)."""
+    pairs needed).
+
+    Public utility — the hyperplane-LSH similarity operators reuse it
+    with (table, sig) keys."""
     sizes = banded.groupBy(*keys).agg(F.count("*").alias("n_docs"))
     if max_bucket is None:
         empty = (
@@ -213,12 +223,16 @@ def _capped_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None, 
     return kept, giants
 
 
+# back-compat alias (pre-r5 name)
+_capped_buckets = capped_buckets
+
+
 def band_pairs_from_banded(banded: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
     """Pairs from a precomputed (doc_id, band_id, band_hash) frame —
     the shared-scan entry point: a caller wanting pairs AND giant
     buckets computes ``minhash_banded`` once (cache/checkpoint it) and
     derives both, instead of re-scanning the corpus per output."""
-    kept, _ = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
+    kept, _ = capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
     a = kept.select(F.col("doc_id").alias("a"), "band_id", "band_hash")
     b = kept.select(F.col("doc_id").alias("b"), "band_id", "band_hash")
     return (
@@ -232,7 +246,7 @@ def band_pairs_from_banded(banded: DataFrame, max_bucket: int | None = 1000) -> 
 def giant_buckets_from_banded(banded: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
     """Giant-bucket side output from a precomputed banded frame.
     Output: (band_id, band_hash, n_docs, keep_id)."""
-    _, giants = _capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
+    _, giants = capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
     return giants
 
 
@@ -342,7 +356,7 @@ def minhash_band_pairs(
     Output: (a, b, n_bands_matched) with a < b.
 
     Buckets larger than ``max_bucket`` are NOT paired (quadratic
-    blow-up guard — see ``_capped_buckets``); recover them with
+    blow-up guard — see ``capped_buckets``); recover them with
     ``minhash_giant_buckets``, or use ``minhash_banded`` +
     ``band_pairs_from_banded``/``giant_buckets_from_banded`` to derive
     both from ONE corpus scan."""
@@ -376,7 +390,7 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     rows (the previous shape; 16x the shuffle volume at web scale).
     All JVM-side.
     """
-    # NO _sharded here (measured, best-of-5 at sf0.1: 0.61 s unsharded
+    # NO ensure_sharded here (measured, best-of-5 at sf0.1: 0.61 s unsharded
     # vs 0.98 s sharded): simhash's map side is one cheap hash per
     # token and the 16 bit-sum aggregates parallelize after the groupBy
     # shuffle anyway — an extra full-text exchange only adds latency.
@@ -447,7 +461,7 @@ def winnowing_fingerprints(
             lambda i: hash64(norm.substr(i, F.lit(k)), fast=fast_hash),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    docs2 = _sharded(docs, id_col).select(
+    docs2 = ensure_sharded(docs, id_col).select(
         F.col(id_col).alias("doc_id"), kgrams.alias("_kh")
     )
     n_windows = F.size(F.col("_kh")) - F.lit(w - 1)
@@ -540,7 +554,7 @@ def duplicated_spans(
         ),
     ).otherwise(F.array().cast("array<string>"))
     per_doc = (
-        _sharded(docs, id_col)
+        ensure_sharded(docs, id_col)
         .select(F.col(id_col).alias("doc_id"), F.explode(spans).alias("span"))
         .select("doc_id", hash64(F.lower(F.col("span")), fast=fast_hash).alias("span_hash"))
         .distinct()
@@ -591,8 +605,12 @@ def remove_duplicated_spans(
     and doc_id (sentence reassembly) — linear in corpus size, never
     doc-pairs; the sentence table is built once and reused for the
     anti-join + rebuild.  Removal is idempotent: a second pass finds
-    no duplicated spans (tested)."""
-    sharded = _sharded(docs, id_col)
+    no duplicated spans (tested).  When duplicated spans OVERLAP, the
+    keep-first invariant wins: sentences belonging to a kept
+    occurrence are never removed, even if they also fall inside a
+    removed occurrence of a different span (the removed occurrence
+    then loses only its unshared sentences)."""
+    sharded = ensure_sharded(docs, id_col)
     sents_tbl = sharded.select(
         F.col(id_col).alias("doc_id"),
         F.posexplode(F.split(F.col(text_col), r"(?<=[.!?])\s+")).alias("sidx", "sentence"),
@@ -633,6 +651,23 @@ def remove_duplicated_spans(
     remove_sents = to_remove_occ.select(
         "doc_id", F.explode(F.sequence(F.col("sidx0"), F.col("sidx0") + n_sents - 1)).alias("sidx")
     ).distinct()
+    # OVERLAP guard: a sentence can sit in a kept occurrence of span X
+    # AND a removed occurrence of an overlapping span Y in the same
+    # doc.  Removing it for Y would delete part of the kept X — the
+    # keep-first invariant must win, so sentences of kept duplicated
+    # occurrences are anti-joined out of the removal set (the removed
+    # Y occurrence then loses only its unshared sentences).
+    kept_occ_sents = (
+        firsts.filter(F.col("n_occ") >= 2)
+        .select(
+            F.col("_keep.doc_id").alias("doc_id"),
+            F.explode(
+                F.sequence(F.col("_keep.sidx0"), F.col("_keep.sidx0") + n_sents - 1)
+            ).alias("sidx"),
+        )
+        .distinct()
+    )
+    remove_sents = remove_sents.join(kept_occ_sents, ["doc_id", "sidx"], "left_anti")
     kept = sents_tbl.join(remove_sents, ["doc_id", "sidx"], "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.array_join(

@@ -210,9 +210,9 @@ def lsh_bucket_pairs(
 def lsh_pairs_from_signatures(sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
     """Distinct candidate (a, b) pairs from a precomputed
     (vec_id, table, sig) frame, hot buckets capped."""
-    from neuroner_spark.operators.dedup import _capped_buckets
+    from neuroner_spark.operators.dedup import capped_buckets
 
-    kept, _ = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
+    kept, _ = capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
     a = kept.select(F.col("vec_id").alias("a"), "table", "sig")
     b = kept.select(F.col("vec_id").alias("b"), "table", "sig")
     return a.join(b, ["table", "sig"]).filter(F.col("a") < F.col("b")).select("a", "b").distinct()
@@ -221,9 +221,9 @@ def lsh_pairs_from_signatures(sigs: DataFrame, max_bucket: int | None = 1000) ->
 def lsh_giants_from_signatures(sigs: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
     """Giant-bucket side output from a precomputed signature frame.
     Output: (table, sig, n_docs, keep_id)."""
-    from neuroner_spark.operators.dedup import _capped_buckets
+    from neuroner_spark.operators.dedup import capped_buckets
 
-    _, giants = _capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
+    _, giants = capped_buckets(sigs, ["table", "sig"], max_bucket, id_col="vec_id")
     return giants
 
 
@@ -257,10 +257,10 @@ def embedding_blocked_pairs(
     ``embedding_giant_blocks`` and belong on the LSH/components path
     (``near_dedup_vectors``), which handles them linearly.
     Output: (block_col, a, b, cos_sim) with a < b, cos >= min_cos."""
-    from neuroner_spark.operators.dedup import _capped_buckets
+    from neuroner_spark.operators.dedup import capped_buckets
 
     narrow = embeddings.select("vec_id", block_col, "embedding")
-    kept, _ = _capped_buckets(
+    kept, _ = capped_buckets(
         narrow.select("vec_id", block_col), [block_col], max_block, id_col="vec_id"
     )
     in_cap = narrow.join(kept.select("vec_id"), "vec_id", "left_semi")
@@ -280,9 +280,9 @@ def embedding_giant_blocks(
 ) -> DataFrame:
     """Side output for ``embedding_blocked_pairs``' cap: the over-cap
     blocks.  Output: (block_col, n_docs, keep_id)."""
-    from neuroner_spark.operators.dedup import _capped_buckets
+    from neuroner_spark.operators.dedup import capped_buckets
 
-    _, giants = _capped_buckets(
+    _, giants = capped_buckets(
         embeddings.select("vec_id", block_col), [block_col], max_block, id_col="vec_id"
     )
     return giants

@@ -457,13 +457,13 @@ FROM events GROUP BY 1
 # Two-phase (range-partition + local rank + offsets) — a web-scale
 # vocabulary (~10^8 tokens) never lands on one partition.
 def q_vocab_freq(spark, sf_dir):
-    from neuroner_spark.operators.dedup import _sharded
+    from neuroner_spark.operators.dedup import ensure_sharded
     from neuroner_spark.operators.ids import assign_sequential_ids
 
-    # _sharded: the explode's map side inherits the input layout — a
+    # ensure_sharded: the explode's map side inherits the input layout — a
     # single-split scan would count the whole corpus on one task
     # (measured 2.9 s vs 1.1 s on a sharded copy at sf0.1)
-    d = _sharded(_t(spark, sf_dir, "documents"), "doc_id")
+    d = ensure_sharded(_t(spark, sf_dir, "documents"), "doc_id")
     toks = d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
     counts = toks.groupBy("token").agg(F.count("*").alias("cnt"))
     return assign_sequential_ids(counts, [F.desc("cnt"), F.asc("token")], id_col="idx")

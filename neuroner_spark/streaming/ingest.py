@@ -107,6 +107,19 @@ def run_streaming_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
+        # the localCheckpoint below pins RDD blocks in executor
+        # storage; under a continuous (non-availableNow) trigger those
+        # would accumulate across micro-batches if left to driver GC —
+        # so the pinned frame is captured and explicitly unpersisted
+        # once the batch's writes are done.
+        pinned: list[DataFrame] = []
+        try:
+            _run_batch(batch_df, batch_id, pinned)
+        finally:
+            for df in pinned:
+                df.rdd.unpersist()
+
+    def _run_batch(batch_df: DataFrame, batch_id: int, pinned: list) -> None:
         if min_quality is not None or benchmark is not None:
             gated = batch_df.withColumn("_quality", quality_score(F.col("text")))
             reason = F.lit(None).cast("string")
@@ -129,6 +142,7 @@ def run_streaming_pipeline(
             # the batch frame branches into rejects + accepted; pin it
             # so the gate expressions (and any tagger upstream) run once
             gated = gated.localCheckpoint()
+            pinned.append(gated)
             if rejects_dir is not None:
                 rejects = gated.filter(F.col("_reject_reason").isNotNull()).select(
                     "url", "warc_ts", "lang", F.col("_reject_reason").alias("reject_reason")

@@ -421,6 +421,37 @@ def test_remove_duplicated_spans_c4(spark):
     assert all(r["n_dup_spans"] == 0 for r in det)
 
 
+def test_remove_duplicated_spans_overlap_keeps_first(spark):
+    """Keep-first survives OVERLAPPING duplicated spans (r5 ADVICE
+    fix): doc 1 holds the kept occurrence of span X = (Xa Xb Ya) but a
+    removed occurrence of span Y = (Ya Yb Yc) — the shared sentence
+    'Ya.' belongs to both, and the kept X must win (only Y's unshared
+    sentences go)."""
+    from neuroner_spark.operators.dedup import remove_duplicated_spans
+
+    rows = [
+        (0, "Ya. Yb. Yc."),  # first occurrence of Y -> kept in full
+        (1, "Xa. Xb. Ya. Yb. Yc."),  # kept X at 0..2, removed Y at 2..4
+        (2, "Xa. Xb. Ya. Other end one. Other end two."),  # removed X
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_duplicated_spans(docs, n_sents=3).collect()}
+    assert out[0]["text"] == rows[0][1] and out[0]["n_removed_sentences"] == 0
+    # doc 1: Y's removal may NOT take 'Ya.' (it is part of the kept X);
+    # only Y's unshared sentences 'Yb. Yc.' are removed
+    assert out[1]["text"] == "Xa. Xb. Ya."
+    assert out[1]["n_removed_sentences"] == 2
+    # doc 2: its X occurrence is the second one -> its 3 sentences go
+    assert out[2]["text"] == "Other end one. Other end two."
+    assert out[2]["n_removed_sentences"] == 3
+    # idempotent on this fixture too
+    cleaned = spark.createDataFrame(
+        [(d, r["text"]) for d, r in out.items()], "doc_id long, text string"
+    )
+    again = remove_duplicated_spans(cleaned, n_sents=3).collect()
+    assert all(r["n_removed_sentences"] == 0 for r in again)
+
+
 def test_winnowing_fingerprints(spark):
     """Winnowing guarantees (Schleimer et al. 2003): docs sharing a
     substring of length >= w+k-1 share >= 1 fingerprint; fingerprints
@@ -466,20 +497,20 @@ def test_winnowing_fingerprints(spark):
 
 
 def test_sharded_is_conditional(spark):
-    """_sharded re-shards only pathologically under-split inputs: a
+    """ensure_sharded re-shards only pathologically under-split inputs: a
     single-partition frame fans out to defaultParallelism; an already
     well-sharded frame passes through with NO added exchange."""
-    from neuroner_spark.operators.dedup import _sharded
+    from neuroner_spark.operators.dedup import ensure_sharded
 
     docs = spark.createDataFrame(
         [(i, f"text {i}") for i in range(100)], "doc_id long, text string"
     )
     narrow = docs.coalesce(1)
-    out = _sharded(narrow, "doc_id")
+    out = ensure_sharded(narrow, "doc_id")
     assert out.rdd.getNumPartitions() == spark.sparkContext.defaultParallelism
     assert out.count() == 100
     wide = docs.repartition(spark.sparkContext.defaultParallelism)
-    again = _sharded(wide, "doc_id")
+    again = ensure_sharded(wide, "doc_id")
     assert again is wide  # identity — zero plan change for sharded inputs
 
 

@@ -160,9 +160,11 @@ def test_url_domain_psl(spark):
         # *.tld wildcards: registrable at the 3rd label
         "http://example.com.bd/": "example.com.bd",
         "https://deep.example.org.np/": "example.org.np",
-        # !www.ck exception (plain www.ck normalizes to 'ck' via the
-        # pinned leading-www strip before PSL logic, so probe via a sub)
+        # !www.ck exception: fires for the bare host too — url_host's
+        # www-strip is conditional on the host not being a PSL
+        # exception rule (r5 ADVICE fix), so 'www.ck' stays registrable
         "http://sub.www.ck/": "www.ck",
+        "http://www.ck/": "www.ck",
         # ordinary jp 2LD list still applies
         "https://www.example.co.jp/": "example.co.jp",
     }
