@@ -154,42 +154,20 @@ SELECT doc_id, pos, token, gold, pred FROM labeled
 
 
 def q_bio_to_bioes(spark, sf_dir):
-    toks = pseudo_tokens(spark, sf_dir)
-    return with_bioes(toks, "gold", "gold_bioes").select("doc_id", "pos", "token", "gold", "gold_bioes")
+    """W2 (BIO->BIOES) per token, PLUS the W3 round-trip back column
+    (r5 tag-merge: ``bioes_roundtrip`` folded in under the driver's
+    50-query budget — W2∘W3=id is now hash-checked row-wise via
+    ``gold_back``, a strictly stronger check than the old joint
+    distribution)."""
+    toks = with_bioes(pseudo_tokens(spark, sf_dir), "gold", "gold_bioes")
+    back = toks.withColumn("gold_back", bioes_to_bio(F.col("gold_bioes")))
+    return back.select("doc_id", "pos", "token", "gold", "gold_bioes", "gold_back")
 
 
 SQL_BIO_TO_BIOES = f"""
-WITH {PSEUDO_TOKENS_CTE}
-SELECT doc_id, pos, token, gold,
-       CASE WHEN gold = 'O' THEN 'O'
-            WHEN gold LIKE 'B-%' AND nxt_gold = 'I-' || regexp_replace(gold, '^[BIOES]-', '') THEN gold
-            WHEN gold LIKE 'B-%' THEN 'S-' || regexp_replace(gold, '^[BIOES]-', '')
-            WHEN gold LIKE 'I-%' AND nxt_gold = 'I-' || regexp_replace(gold, '^[BIOES]-', '') THEN gold
-            WHEN gold LIKE 'I-%' THEN 'E-' || regexp_replace(gold, '^[BIOES]-', '')
-            ELSE gold END AS gold_bioes
-FROM (
-  SELECT doc_id, pos, token, gold,
-         lead(gold) OVER (PARTITION BY doc_id, sent_id ORDER BY pos) AS nxt_gold
-  FROM labeled
-)
-"""
-
-
-def q_bioes_roundtrip(spark, sf_dir):
-    """W2 then W3 must be the identity on valid BIO; output the joint
-    distribution so the oracle checks more than a single zero."""
-    toks = with_bioes(pseudo_tokens(spark, sf_dir), "gold", "gold_bioes")
-    back = toks.withColumn("gold_back", bioes_to_bio(F.col("gold_bioes")))
-    return back.groupBy("gold", "gold_bioes", "gold_back").agg(
-        F.count("*").alias("n"),
-        F.sum(F.when(F.col("gold") != F.col("gold_back"), 1).otherwise(0)).cast("long").alias("n_mismatch"),
-    )
-
-
-SQL_BIOES_ROUNDTRIP = f"""
 WITH {PSEUDO_TOKENS_CTE},
 bioes AS (
-  SELECT gold,
+  SELECT doc_id, pos, token, gold,
          CASE WHEN gold = 'O' THEN 'O'
               WHEN gold LIKE 'B-%' AND nxt_gold = 'I-' || regexp_replace(gold, '^[BIOES]-', '') THEN gold
               WHEN gold LIKE 'B-%' THEN 'S-' || regexp_replace(gold, '^[BIOES]-', '')
@@ -197,19 +175,16 @@ bioes AS (
               WHEN gold LIKE 'I-%' THEN 'E-' || regexp_replace(gold, '^[BIOES]-', '')
               ELSE gold END AS gold_bioes
   FROM (
-    SELECT gold, lead(gold) OVER (PARTITION BY doc_id, sent_id ORDER BY pos) AS nxt_gold
+    SELECT doc_id, pos, token, gold,
+           lead(gold) OVER (PARTITION BY doc_id, sent_id ORDER BY pos) AS nxt_gold
     FROM labeled
   )
-), back AS (
-  SELECT gold, gold_bioes,
-         CASE WHEN gold_bioes LIKE 'S-%' THEN 'B-' || substring(gold_bioes, 3)
-              WHEN gold_bioes LIKE 'E-%' THEN 'I-' || substring(gold_bioes, 3)
-              ELSE gold_bioes END AS gold_back
-  FROM bioes
 )
-SELECT gold, gold_bioes, gold_back, count(*) AS n,
-       CAST(sum(CASE WHEN gold <> gold_back THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch
-FROM back GROUP BY 1, 2, 3
+SELECT doc_id, pos, token, gold, gold_bioes,
+       CASE WHEN gold_bioes LIKE 'S-%' THEN 'B-' || substring(gold_bioes, 3)
+            WHEN gold_bioes LIKE 'E-%' THEN 'I-' || substring(gold_bioes, 3)
+            ELSE gold_bioes END AS gold_back
+FROM bioes
 """
 
 
@@ -375,7 +350,8 @@ SELECT 'doc_n_tokens', doc_n_tokens FROM a7
 QUERIES = {
     "ner_labels": (q_ner_labels, SQL_NER_LABELS),
     "bio_to_bioes": (q_bio_to_bioes, SQL_BIO_TO_BIOES),
-    "bioes_roundtrip": (q_bioes_roundtrip, SQL_BIOES_ROUNDTRIP),
+    # bioes_roundtrip folded into bio_to_bioes (r5 tag-merge): the
+    # gold_back column hash-checks W2∘W3=id row-wise.
     "extract_spans": (q_extract_spans, SQL_EXTRACT_SPANS),
     "conlleval_f1": (q_conlleval_f1, SQL_CONLLEVAL_F1),
     "ner_confusion": (q_ner_confusion, SQL_NER_CONFUSION),

@@ -362,15 +362,8 @@ FROM events GROUP BY 1
 """
 
 
-# --- rollup / cube (free Spark built-ins, exposed for coverage)
-def q_rollup_docs(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.rollup("lang", "source").agg(F.count("*").alias("n"))
-
-
-SQL_ROLLUP_DOCS = "SELECT lang, source, count(*) AS n FROM documents GROUP BY ROLLUP(lang, source)"
-
-
+# --- cube helper (rollup_docs tag-merged into events_grouping's
+# tagged frame in r5 — DataFrame.rollup stays oracle-checked there)
 def cubed(bucketed):
     return bucketed.cube("event_type", "user_bucket").agg(
         F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value")
@@ -565,8 +558,11 @@ GROUP BY n_name
 """
 
 
-# --- GROUPING SETS + CUBE in one oracle, tagged (both still the real
-# Spark primitives: GROUP BY GROUPING SETS via SQL, DataFrame.cube).
+# --- GROUPING SETS + CUBE + ROLLUP in one oracle, tagged (all three
+# still the real Spark primitives: GROUP BY GROUPING SETS via SQL,
+# DataFrame.cube, DataFrame.rollup).  The rollup branch is the r5
+# tag-merge of the old ``rollup_docs`` entry (driver 50-query budget —
+# the freed slot is what ``winnowing_fingerprints`` occupies).
 def q_events_grouping(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev.createOrReplaceTempView("_ev")
@@ -588,7 +584,19 @@ def q_events_grouping(spark, sf_dir):
             "total_value",
         )
     )
-    return gs.unionByName(cu)
+    ro = (
+        ev.withColumn("user_bucket", (F.col("user_id") % 7).cast("long"))
+        .rollup("event_type", "user_bucket")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.lit("rollup").alias("grp"),
+            "event_type",
+            F.col("user_bucket").alias("ub"),
+            "n",
+            "total_value",
+        )
+    )
+    return gs.unionByName(cu).unionByName(ro)
 
 
 SQL_EVENTS_GROUPING = """
@@ -600,6 +608,10 @@ UNION ALL
 SELECT 'cube' AS grp, event_type, CAST(user_id % 5 AS BIGINT) AS ub, count(*) AS n,
        round(sum(value), 2) AS total_value
 FROM events GROUP BY CUBE(event_type, (CAST(user_id % 5 AS BIGINT)))
+UNION ALL
+SELECT 'rollup' AS grp, event_type, CAST(user_id % 7 AS BIGINT) AS ub, count(*) AS n,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY ROLLUP(event_type, (CAST(user_id % 7 AS BIGINT)))
 """
 
 
@@ -671,7 +683,6 @@ QUERIES = {
     "array_funcs": (q_array_funcs, SQL_ARRAY_FUNCS),
     "rank_battery": (q_rank_battery, SQL_RANK_BATTERY),
     "pivot_event_values": (q_pivot_event_values, SQL_PIVOT_EVENT_VALUES),
-    "rollup_docs": (q_rollup_docs, SQL_ROLLUP_DOCS),
     "nations_setops": (q_nations_setops, SQL_NATIONS_SETOPS),
     "distinct_users": (q_distinct_users, SQL_DISTINCT_USERS),
     "events_per_day": (q_events_per_day, SQL_EVENTS_PER_DAY),

@@ -472,8 +472,112 @@ FROM dots WHERE round(dot / (na * nb), 6) >= 0.2
 """
 
 
+# --- END-TO-END embedding near-dup dedup: the vector twin of
+# dedup_near_corpus (LSH bucket pairs verified by exact cosine +
+# giant-bucket star edges -> connected components -> keep-one).
+# max_bucket=8 / min_cos=0.2 at sf0.01 keeps BOTH edge paths live in
+# the driver check (180 cosine-verified pair edges AND ~56 over-cap
+# buckets contributing star edges); production defaults are 1000/0.9.
+def q_near_dedup_vectors(spark, sf_dir):
+    from neuroner_spark.operators.similarity import near_dedup_vectors
+
+    return near_dedup_vectors(
+        _emb(spark, sf_dir), n_planes=8, dim=64, n_tables=4, min_cos=0.2, max_bucket=8
+    )
+
+
+def _near_vectors_sql(max_bucket: int = 8, min_cos: float = 0.2) -> str:
+    # min-label propagation over the symmetric edge set, exactly like
+    # _near_corpus_sql: labels only travel toward LARGER node ids (the
+    # component min is below every member, so it still reaches all).
+    return f"""
+WITH RECURSIVE expanded AS (
+  SELECT vec_id, t.tbl, p.plane,
+         unnest(embedding)::DOUBLE AS a,
+         unnest(list_transform(range(0, 64),
+            j -> (((t.tbl * 8 + p.plane) * 64 + j) * 2654435761 % 1000) / 500.0 - 1.0)) AS h
+  FROM embeddings, (SELECT unnest(range(0, 8)) AS plane) p, (SELECT unnest(range(0, 4)) AS tbl) t
+), dots AS (
+  SELECT vec_id, tbl, plane, sum(a * h) AS dot FROM expanded GROUP BY 1, 2, 3
+), sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dot > 0 THEN (CAST(1 AS BIGINT) << plane) ELSE 0 END) AS BIGINT) AS sig
+  FROM dots GROUP BY 1, 2
+), sizes AS (
+  SELECT tbl, sig, count(*) AS n_docs, min(vec_id) AS keep_id FROM sig GROUP BY 1, 2
+), cand AS (
+  SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
+  FROM sig x JOIN sig y ON x.tbl = y.tbl AND x.sig = y.sig AND x.vec_id < y.vec_id
+  JOIN sizes s ON s.tbl = x.tbl AND s.sig = x.sig
+  WHERE s.n_docs <= {max_bucket}
+), pexp AS (
+  SELECT c.a, c.b, unnest(ea.embedding)::DOUBLE AS va, unnest(eb.embedding)::DOUBLE AS vb
+  FROM cand c JOIN embeddings ea ON ea.vec_id = c.a JOIN embeddings eb ON eb.vec_id = c.b
+), pair_edges AS (
+  SELECT a AS src, b AS dst FROM (
+    SELECT a, b, round(sum(va*vb)/(sqrt(sum(va*va))*sqrt(sum(vb*vb))), 6) AS cs
+    FROM pexp GROUP BY a, b
+  ) WHERE cs >= {min_cos}
+), giant_edges AS (
+  SELECT DISTINCT g.vec_id AS src, s.keep_id AS dst
+  FROM sig g JOIN sizes s ON s.tbl = g.tbl AND s.sig = g.sig
+  WHERE s.n_docs > {max_bucket} AND g.vec_id <> s.keep_id
+), sym AS (
+  SELECT src AS a, dst AS b FROM (SELECT * FROM pair_edges UNION SELECT * FROM giant_edges)
+  UNION
+  SELECT dst, src FROM (SELECT * FROM pair_edges UNION SELECT * FROM giant_edges)
+), reach AS (
+  SELECT vec_id AS node, vec_id AS lab FROM embeddings
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node WHERE r.lab < s.b
+)
+SELECT node AS vec_id, min(lab) AS component, (min(lab) = node) AS keep
+FROM reach GROUP BY node
+"""
+
+
+# --- winnowing fingerprints (Schleimer et al. 2003 / MOSS): k-gram
+# rolling hashes, windowed-min selection.  The DuckDB twin expresses
+# the same selection as a trailing ROWS window min (full windows only)
+# plus the short-doc global-min fallback.
+def q_winnowing(spark, sf_dir):
+    from neuroner_spark.operators.dedup import winnowing_fingerprints
+
+    return winnowing_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+SQL_WINNOWING = r"""
+WITH norm AS (
+  SELECT doc_id, trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t FROM documents
+), kg AS (
+  SELECT doc_id, i,
+         CAST(('0x' || substring(md5(substring(t, CAST(i AS INTEGER), 5)), 1, 15)) AS BIGINT) AS kh
+  FROM (
+    SELECT doc_id, t, unnest(range(1, length(t) - 3)) AS i
+    FROM norm WHERE length(t) >= 5
+  )
+), counts AS (
+  SELECT doc_id, count(*) AS n FROM kg GROUP BY 1
+), winmin AS (
+  SELECT g.doc_id,
+         min(kh) OVER (PARTITION BY g.doc_id ORDER BY i ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp,
+         row_number() OVER (PARTITION BY g.doc_id ORDER BY i) AS rn
+  FROM kg g JOIN counts c ON g.doc_id = c.doc_id AND c.n >= 4
+)
+SELECT doc_id, fp FROM (
+  SELECT DISTINCT doc_id, fp FROM winmin WHERE rn >= 4
+  UNION
+  SELECT g.doc_id, min(kh) AS fp
+  FROM kg g JOIN counts c ON g.doc_id = c.doc_id AND c.n < 4
+  GROUP BY g.doc_id
+)
+"""
+
+
 QUERIES = {
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "near_dedup_vectors": (q_near_dedup_vectors, _near_vectors_sql(8, 0.2)),
+    "winnowing_fingerprints": (q_winnowing, SQL_WINNOWING),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
