@@ -40,18 +40,50 @@ def main() -> None:
     from neuroner_spark.plans import catalog_ner, catalog_relational, catalog_text
 
     timings: dict[str, float] = {}
+    timings_best: dict[str, float] = {}
+    timings_samples: dict[str, list] = {}
 
-    def timed(name: str, fn, repeats: int = 2):
-        # best-of-N: the shared-host hypervisor adds multi-second noise
-        # and the first run pays JIT/codegen; min ~= steady state
-        best = None
+    def timed(name: str, fn, repeats: int = 5):
+        # median-of-5 (r4 verdict: two rounds running, the recorded
+        # best-of-N landed 20%+ off the builder's same-session number
+        # with no plan change — the shared-host hypervisor adds
+        # multi-second noise and min-of-few is a lottery; the median is
+        # robust to one or two loaded samples).  The first run still
+        # pays JIT/codegen, so it is EXCLUDED from the median (recorded
+        # implicitly via the best-of list).
+        samples = []
+        n = None
         for _ in range(repeats):
             t0 = time.time()
             n = fn()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+            samples.append(time.time() - t0)
+        import statistics
+
+        steady = samples[1:] if len(samples) > 2 else samples
+        timings[name] = round(statistics.median(steady), 3)
+        timings_best[name] = round(min(samples), 3)
+        timings_samples[name] = [round(x, 3) for x in samples]
         return n
+
+    def load_probe() -> float:
+        # host-load marker (r4 verdict "what's wrong" #1): a fixed
+        # pure-python single-thread loop — immune to BLAS threadpool
+        # nondeterminism (the driver process's OpenBLAS is NOT pinned;
+        # executorEnv pinning applies to workers only) and to vector-ISA
+        # variation.  Concurrent hypervisor load inflates it
+        # proportionally, so the recorded before/after pair lets a
+        # reader judge whether a slow headline total is the plans or
+        # the box.  min-of-3: a single sample can itself catch a 5x
+        # spike; the min is the load floor during the probe window.
+        best = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            x = 0
+            for i in range(2_000_000):
+                x += i * i % 7
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return round(best, 3)
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_docs = docs.count()
@@ -90,7 +122,9 @@ def main() -> None:
         assert n > 0, "kg_pipeline produced no triples — benchmark invalid"
         return n
 
-    timed("kg_pipeline", kg_pipeline, repeats=3)
+    probe_before = load_probe()
+
+    timed("kg_pipeline", kg_pipeline)
 
     # --- q2: neural tagger (D1) over every sentence of the corpus
     def neural_tagger():
@@ -106,7 +140,7 @@ def main() -> None:
         tagged = tag_tokens(spark, tokens, bundle)
         return tagged.count()
 
-    timed("neural_tagger", neural_tagger, repeats=3)
+    timed("neural_tagger", neural_tagger)
 
     # --- catalog heavies
     heavies = {
@@ -120,9 +154,7 @@ def main() -> None:
         "conlleval_f1": catalog_ner.QUERIES["conlleval_f1"][0],
     }
     for name, fn in heavies.items():
-        # best-of-3 (r2 verdict: two queries showed ±20% shared-host
-        # noise at best-of-2; a third sample pins the steady state)
-        timed(name, lambda fn=fn: fn(spark, sf_dir).count(), repeats=3)
+        timed(name, lambda fn=fn: fn(spark, sf_dir).count())
 
     # --- x10 tier (r3 verdict #5): the sub-second queries are noise-
     # dominated at sf0.1 (~0.3-0.7 s/job scheduler latency on this
@@ -180,13 +212,24 @@ def main() -> None:
         timed_x10(name, lambda fn=fn: fn(spark, x10_dir).count())
     shutil.rmtree(x10_dir, ignore_errors=True)
 
+    probe_after = load_probe()
+
     total = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_total_sec",
         "value": total,
         "unit": "sec",
+        "protocol": "median-of-5 (first run excluded)",
         "queries": timings,
+        "queries_best": timings_best,
+        "queries_samples": timings_samples,
+        "total_best": round(sum(timings_best.values()), 3),
         "queries_x10": x10_timings,
+        "host_load_probe_sec": {"before": probe_before, "after": probe_after},
+        # load factor vs the measured idle floor (0.10 s on this box,
+        # BENCH/BASELINE.md r5): ~1.0 = idle, >1.3 = the medians above
+        # carry hypervisor load
+        "host_load_factor": round(min(probe_before, probe_after) / 0.10, 2),
         "sf": sf,
         "cpus": cpus,
         "n_docs": n_docs,
