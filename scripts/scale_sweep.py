@@ -1,26 +1,50 @@
 """Scale-anomaly sweep: run every registry query at sf0.1 and on an
 N-times id-shifted union of the same tables, flag superlinear wall
-time or pair-blowup row growth.
+time or pair-blowup row growth — gated against a COMMITTED
+expectations file so only NEW anomalies fail the round.
 
 This is the tool that caught the r4 dedup_embedding hole (10x vectors
 -> 108x pairs): replicate-by-id-shift plus ONE cold run per scale is
 the cheapest quadratic-shape detector — per-query best-of benchmarks
 hid it for three rounds because the toy inputs never had hot blocks.
 
-Usage: python scripts/scale_sweep.py [factor] [sf_dir]
-Prints one line per query: name, x1 wall/rows, xN wall/rows, FLAG when
-wall grows > 4x past the noise floor or rows grow > 3N x.
+Usage:
+  python scripts/scale_sweep.py [factor] [sf_dir]     # gate vs expectations
+  python scripts/scale_sweep.py --update [factor]     # re-commit expectations
+  python scripts/scale_sweep.py --flagship [factor]   # 3 flagship E2E compositions
+                                                      # at a deep factor (default 100)
+
+Gating rules (plain run):
+- ROW RATIO (deterministic): each query's rows_xN/rows_x1 must match
+  the committed ratio in scripts/scale_expectations.json within 25%
+  (replicated inputs -> deterministic outputs; any drift is a real
+  semantic/scale change). Queries missing from the file fall back to
+  the generic blowup rule rows_xN > 3*factor*rows_x1.
+- WALL (noisy): flag when wall grows past 1.5x LINEAR (i.e. more than
+  1.5*factor past a 0.5 s noise floor — at factor 10 a 10x wall is
+  linear scaling, not an anomaly), unless the query is in
+  expected_wall_flags (documented quadratics: the exact-jaccard
+  generator's output IS quadratic per clone group — see
+  ngram_jaccard_pairs' docstring; pipelines run exact_dedup first).
+
+Results are written to BENCH/sweep_x{factor}.json each run so the
+round's sweep is a recorded artifact, not a transient stdout.
 """
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
 import tempfile
 import time
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+EXPECTATIONS = os.path.join(REPO, "scripts", "scale_expectations.json")
+ROW_RATIO_TOL = 1.25
 
 # id column to shift per table; None = dimension side, copied once
 TABLE_IDS = {
@@ -37,31 +61,23 @@ TABLE_IDS = {
 }
 
 
-# known-and-documented scale behaviors (printed but not counted as
-# failures): the EXACT jaccard generator's output is the true pair
-# set, and a replicate-by-N corpus really has ~N^2/2 jaccard-1.0
-# pairs per clone group (see ngram_jaccard_pairs' docstring — the
-# pipeline runs exact_dedup first / near_dedup_corpus instead)
-EXPECTED_FLAGS = {"dedup_jaccard"}
-
-
-def main() -> None:
-    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
-    import __spark_entry__
-
-    from pyspark.sql import functions as F
-
+def _session(name: str):
     from neuroner_spark.session import get_spark
 
-    spark = get_spark(
-        "scale_sweep",
+    return get_spark(
+        name,
         cores="32",
         shuffle_partitions=32,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    xdir = tempfile.mkdtemp(prefix=f"sweep_x{factor}_")
+
+
+def _replicate(spark, sf_dir: str, factor: int, xdir: str, tables=None) -> None:
+    from pyspark.sql import functions as F
+
     for t, idc in TABLE_IDS.items():
+        if tables is not None and t not in tables:
+            continue
         src = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if idc is None:
             scaled = src
@@ -74,7 +90,25 @@ def main() -> None:
             for c in copies[1:]:
                 scaled = scaled.unionByName(c)
         scaled.write.mode("overwrite").parquet(f"{xdir}/{t}.parquet")
+
+
+def sweep(factor: int, sf_dir: str, update: bool) -> int:
+    import __spark_entry__
+
+    spark = _session("scale_sweep")
+    exp = {"factor": factor, "row_ratio": {}, "expected_wall_flags": ["dedup_jaccard"]}
+    if os.path.exists(EXPECTATIONS) and not update:
+        exp = json.load(open(EXPECTATIONS))
+        if exp.get("factor") != factor:
+            print(
+                f"note: expectations committed at factor {exp.get('factor')}, "
+                f"running at {factor} — row-ratio gate degrades to the generic rule"
+            )
+    xdir = tempfile.mkdtemp(prefix=f"sweep_x{factor}_")
+    _replicate(spark, sf_dir, factor, xdir)
     n_flags = 0
+    results = {}
+    new_ratios = {}
     for name, fn in __spark_entry__.queries().items():
         try:
             t0 = time.time()
@@ -83,20 +117,140 @@ def main() -> None:
             t0 = time.time()
             nx = fn(spark, xdir).count()
             tx = time.time() - t0
-            flag = tx > 4 * max(t1, 0.5) or (n1 and nx > 3 * factor * n1)
-            expected = name in EXPECTED_FLAGS
-            n_flags += bool(flag and not expected)
-            suffix = "  <-- FLAG (expected, documented)" if (flag and expected) else (
-                "  <-- FLAG" if flag else ""
+            ratio = round(nx / n1, 4) if n1 else None
+            new_ratios[name] = ratio
+            reasons = []
+            committed = exp["row_ratio"].get(name) if exp.get("factor") == factor else None
+            if committed and ratio:
+                if ratio > committed * ROW_RATIO_TOL or ratio < committed / ROW_RATIO_TOL:
+                    reasons.append(f"row ratio {ratio} vs committed {committed}")
+            elif n1 and nx > 3 * factor * n1:
+                reasons.append(f"row blowup {ratio}x at factor {factor}")
+            if tx > 1.5 * factor * max(t1, 0.5):
+                if name in exp.get("expected_wall_flags", []):
+                    reasons.append("wall superlinear (expected, documented)")
+                else:
+                    reasons.append(f"wall {t1:.2f}->{tx:.2f}s")
+            new = [r for r in reasons if "expected" not in r]
+            n_flags += bool(new)
+            suffix = f"  <-- FLAG ({'; '.join(reasons)})" if new else (
+                f"  ({reasons[0]})" if reasons else ""
             )
+            results[name] = {
+                "x1_sec": round(t1, 2), "x1_rows": n1,
+                "xN_sec": round(tx, 2), "xN_rows": nx,
+                "row_ratio": ratio, "flags": new,
+            }
             print(f"{name}: x1={t1:.2f}s/{n1} x{factor}={tx:.2f}s/{nx}{suffix}")
         except Exception as e:  # keep sweeping past a broken query
             n_flags += 1
+            results[name] = {"error": f"{type(e).__name__}: {str(e)[:200]}"}
             print(f"{name}: ERROR {type(e).__name__}: {str(e)[:140]}  <-- FLAG")
         sys.stdout.flush()
     shutil.rmtree(xdir, ignore_errors=True)
-    print(f"\n{n_flags} flagged")
-    sys.exit(1 if n_flags else 0)
+    out = os.path.join(REPO, "BENCH", f"sweep_x{factor}.json")
+    json.dump({"factor": factor, "sf_dir": sf_dir, "n_flags": n_flags,
+               "results": results}, open(out, "w"), indent=1)
+    print(f"\n{n_flags} flagged (new anomalies only); artifact: {out}")
+    if update:
+        json.dump(
+            {"factor": factor, "row_ratio": new_ratios,
+             "expected_wall_flags": exp.get("expected_wall_flags", ["dedup_jaccard"])},
+            open(EXPECTATIONS, "w"), indent=1,
+        )
+        print(f"expectations re-committed: {EXPECTATIONS}")
+    return n_flags
+
+
+def flagship(factor: int, sf_dir: str) -> int:
+    """Deep-scale tier: the three flagship E2E compositions only, at
+    ``factor``x documents (default 100 -> 500k docs from sf0.1).
+    Informational (recorded, not ratio-gated): asserts completion and
+    scale-invariant answers, records docs/sec."""
+    from pyspark.sql import functions as F
+
+    spark = _session("flagship_sweep")
+    xdir = tempfile.mkdtemp(prefix=f"flagship_x{factor}_")
+    _replicate(spark, sf_dir, factor, xdir, tables={"documents"})
+    docs = spark.read.parquet(f"{xdir}/documents.parquet")
+    n_docs = docs.count()
+    results = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        n = fn()
+        dt = time.time() - t0
+        results[name] = {
+            "sec": round(dt, 1), "rows": n,
+            "docs_per_sec": round(n_docs / dt, 1),
+        }
+        print(f"{name}: {dt:.1f}s, {n} rows, {n_docs / dt:.0f} docs/sec")
+        sys.stdout.flush()
+
+    def near_dedup():
+        from neuroner_spark.operators.dedup import near_dedup_corpus
+
+        out = near_dedup_corpus(docs, n=3, bands=4, max_bucket=1000)
+        kept = out.filter("keep").count()
+        # replicate-invariance: clone clusters must fully collapse —
+        # the kept count may not scale with the replication factor
+        assert kept < n_docs / max(factor / 2, 1), (
+            f"near-dup failed to collapse clones: {kept} kept of {n_docs}"
+        )
+        return kept
+
+    def kg_gazetteer():
+        from neuroner_spark.functions.tokenize import tokenize
+        from neuroner_spark.operators.gazetteer import match_mentions
+        from neuroner_spark.operators.linking import link_mentions
+        from neuroner_spark.plans.catalog_kg import _aliases
+        from neuroner_spark.plans.kg_pipeline import canonical_map, triples_from_linked
+
+        aliases = _aliases(spark)
+        d = docs.select(
+            F.col("doc_id").cast("string").alias("url"),
+            F.lit(None).cast("timestamp").alias("warc_ts"),
+            F.col("text"),
+        )
+        tokens = tokenize(d.withColumnRenamed("url", "doc_id"))
+        mentions = match_mentions(tokens, aliases)
+        linked = link_mentions(mentions, aliases, use_fuzzy=False)
+        triples = triples_from_linked(linked, canonical_map(aliases), d)
+        return triples.count()
+
+    def corpus_prep():
+        from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+        wdir = tempfile.mkdtemp(prefix="flagship_corpus_")
+        try:
+            res = run_corpus_prep(spark, docs, wdir)
+            return res["corpus"].count()
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
+    run("near_dedup_corpus", near_dedup)
+    run("kg_gazetteer", kg_gazetteer)
+    run("corpus_prep_materialized", corpus_prep)
+    shutil.rmtree(xdir, ignore_errors=True)
+    out = os.path.join(REPO, "BENCH", f"flagship_x{factor}.json")
+    json.dump({"factor": factor, "n_docs": n_docs, "results": results},
+              open(out, "w"), indent=1)
+    print(f"artifact: {out}")
+    return 0
+
+
+def main() -> None:
+    args = [a for a in sys.argv[1:]]
+    update = "--update" in args
+    deep = "--flagship" in args
+    args = [a for a in args if not a.startswith("--")]
+    if deep:
+        factor = int(args[0]) if args else 100
+        sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+        sys.exit(flagship(factor, sf_dir))
+    factor = int(args[0]) if args else 10
+    sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
+    sys.exit(1 if sweep(factor, sf_dir, update) else 0)
 
 
 if __name__ == "__main__":
