@@ -16,12 +16,34 @@ from pyspark.sql import functions as F
 # and DuckDB (RE2), used wherever an oracle compares token counts.
 ASCII_TOKEN_RE = r"[A-Za-z0-9]+|[^A-Za-z0-9\s]"
 
-# Tiny pinned stopword lists per language (deterministic lang-ID heuristic).
+# Tiny pinned stopword lists per language (deterministic lang-ID
+# heuristic; words from the public multilingual stopword corpora —
+# NLTK / stopwords-iso — trimmed to the 10 most frequent).  Dict ORDER
+# is the deterministic tie-break order of ``lang_guess``.
+#
+# CONTRACT: this is a sandbox stand-in for a real CCNet/fastText
+# language model.  Only the listed languages can be returned; a
+# document in any OTHER language misroutes to its nearest stopword
+# neighbor (often 'en' on zero scores).  Whitespace tokenization also
+# means unsegmented scripts (zh/ja/th) score ~0 everywhere and
+# misroute — gate row counts are only trustworthy for corpora whose
+# languages are covered here.
 STOPWORDS = {
     "en": ["the", "a", "of", "and", "to", "in", "is", "it", "that", "for"],
     "de": ["der", "die", "das", "und", "zu", "ist", "nicht", "ein", "mit", "auf"],
     "es": ["el", "la", "de", "que", "y", "en", "un", "es", "no", "por"],
     "fr": ["le", "la", "de", "et", "les", "des", "un", "est", "que", "pour"],
+    "it": ["il", "di", "che", "e", "la", "per", "un", "in", "sono", "non"],
+    "pt": ["o", "de", "que", "e", "em", "um", "para", "com", "uma", "os"],
+    "nl": ["de", "het", "een", "van", "en", "dat", "op", "te", "zijn", "met"],
+    "sv": ["och", "att", "det", "som", "en", "på", "är", "av", "för", "med"],
+    "da": ["og", "i", "det", "at", "en", "den", "til", "er", "som", "af"],
+    "no": ["og", "i", "det", "at", "en", "til", "er", "som", "på", "ikke"],
+    "fi": ["ja", "on", "ei", "että", "se", "hän", "oli", "mutta", "joka", "kun"],
+    "pl": ["i", "w", "nie", "na", "się", "z", "do", "to", "że", "jest"],
+    "tr": ["ve", "bir", "bu", "da", "için", "ile", "çok", "ama", "gibi", "daha"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini", "dari", "dalam"],
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "с", "как", "это"],
 }
 
 
@@ -81,20 +103,25 @@ def lang_scores(text: Column) -> list[tuple[str, Column]]:
 
 def lang_guess(text: Column) -> Column:
     """Argmax language over the stopword-overlap scores, deterministic
-    tie-break en > de > es > fr (the same rule the ``lang_id`` oracle
-    pins).  One pass over the token array, pure column expressions."""
-    scores = dict(lang_scores(text))
-    return (
-        F.when(
-            (scores["en"] >= scores["de"])
-            & (scores["en"] >= scores["es"])
-            & (scores["en"] >= scores["fr"]),
-            F.lit("en"),
-        )
-        .when((scores["de"] >= scores["es"]) & (scores["de"] >= scores["fr"]), F.lit("de"))
-        .when(scores["es"] >= scores["fr"], F.lit("es"))
-        .otherwise(F.lit("fr"))
-    )
+    tie-break = ``STOPWORDS`` dict order (en first — the same rule the
+    ``lang_id`` oracle generates from the same table).  Pure column
+    expressions, one stopword-filter pass per language over the token
+    array — linear per doc, JVM-side, no shuffle.
+
+    See the ``STOPWORDS`` contract note: only listed languages can be
+    returned; anything else (or an unsegmented script) MISROUTES.
+    Callers gating a corpus (``run_corpus_prep(keep_lang=...)``) must
+    not read the gate's row counts as language truth for uncovered
+    languages."""
+    scores = lang_scores(text)
+    expr = None
+    for i, (lang, s) in enumerate(scores[:-1]):
+        cond = None
+        for _, s2 in scores[i + 1 :]:
+            c = s >= s2
+            cond = c if cond is None else (cond & c)
+        expr = F.when(cond, F.lit(lang)) if expr is None else expr.when(cond, F.lit(lang))
+    return expr.otherwise(F.lit(scores[-1][0]))
 
 
 def fingerprint(text: Column) -> Column:

@@ -93,23 +93,35 @@ def _sw_list(lang):
     return "[" + ",".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
 
 
-SQL_LANG_ID = f"""
+def _lang_id_sql() -> str:
+    """Generated from the SAME ``STOPWORDS`` table (languages + dict
+    order = tie-break) as ``lang_guess``, so widening the table can
+    never drift the two sides apart."""
+    langs = list(STOPWORDS)
+    score_cols = ",\n         ".join(
+        f"len(list_filter(string_split(lower(text), ' '), "
+        f"t -> list_contains({_sw_list(l)}, t))) AS s_{l}"
+        for l in langs
+    )
+    cases = "\n            ".join(
+        "WHEN " + " AND ".join(f"s_{l} >= s_{l2}" for l2 in langs[i + 1 :]) + f" THEN '{l}'"
+        for i, l in enumerate(langs[:-1])
+    )
+    return f"""
 WITH scored AS (
   SELECT lang,
-         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('en')}, t))) AS s_en,
-         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('de')}, t))) AS s_de,
-         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('es')}, t))) AS s_es,
-         len(list_filter(string_split(lower(text), ' '), t -> list_contains({_sw_list('fr')}, t))) AS s_fr
+         {score_cols}
   FROM documents
 )
 SELECT lang,
-       CASE WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr THEN 'en'
-            WHEN s_de >= s_es AND s_de >= s_fr THEN 'de'
-            WHEN s_es >= s_fr THEN 'es'
-            ELSE 'fr' END AS guess,
+       CASE {cases}
+            ELSE '{langs[-1]}' END AS guess,
        count(*) AS n
 FROM scored GROUP BY 1, 2
 """
+
+
+SQL_LANG_ID = _lang_id_sql()
 
 
 # --- exact dedup by md5 fingerprint

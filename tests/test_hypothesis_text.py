@@ -195,3 +195,38 @@ def test_canonical_url_idempotent_property(spark):
     ).select("c1", canonical_url(F.col("c1")).alias("c2"))
     bad = df.filter(F.col("c1") != F.col("c2")).collect()
     assert bad == [], bad[:5]
+
+
+def test_lang_guess_widened_and_misroute_contract(spark):
+    """r5: the stopword table covers 15 languages; dict order is the
+    tie-break; a language OUTSIDE the table misroutes to some covered
+    code (the documented contract — the gate must never be read as
+    truth for uncovered languages)."""
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.functions.text_analysis import STOPWORDS, lang_guess
+
+    samples = {
+        "en": "the cat sat on the mat and it is happy that for now",
+        "de": "der hund ist nicht mit der katze und das ist ein problem auf dauer",
+        "es": "el perro que corre por la calle no es un gato y es feliz",
+        "fr": "le chien est dans les rues et il faut que pour des raisons",
+        "it": "il cane che corre per la strada non sono un gatto e il problema",
+        "pt": "o cachorro que corre em uma rua para o parque com os amigos",
+        "nl": "de hond is een dier dat van het park op te gaan zijn met",
+        "sv": "hunden och katten är det som en av de bästa på gatan för med",
+        "pl": "to jest pies i nie ma go w domu na pewno się z tego że",
+        "ru": "я не знаю что он в доме и на улице с этим как это",
+    }
+    rows = [(lang, text) for lang, text in samples.items()]
+    df = spark.createDataFrame(rows, "lang string, text string").select(
+        "lang", lang_guess(F.col("text")).alias("guess")
+    )
+    got = {r["lang"]: r["guess"] for r in df.collect()}
+    assert got == {lang: lang for lang in samples}
+    # uncovered language (Czech): misroutes to SOME covered code —
+    # deterministic, but NOT 'cs' (the contract callers must know)
+    cz = spark.createDataFrame(
+        [("toto je velmi krásný den a slunce svítí na oblohu",)], "text string"
+    ).select(lang_guess(F.col("text")).alias("guess"))
+    assert cz.collect()[0]["guess"] in STOPWORDS
