@@ -483,6 +483,64 @@ def winnowing_fingerprints(
     return docs2.select("doc_id", F.explode(selected).alias("fp"))
 
 
+def winnow_components_from_fps(
+    fps: DataFrame,
+    all_docs: DataFrame,
+    min_shared: int = 2,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Partial-overlap dedup components over a PRE-MATERIALIZED
+    winnowing-fingerprint frame — the winnowing twin of
+    ``near_dedup_from_banded``, same shape: fingerprint equi-join for
+    pairs (docs sharing >= ``min_shared`` fingerprints are
+    partial-overlap duplicates), buckets over ``max_bucket`` folded in
+    as O(members) star edges (a boilerplate fingerprint shared by 10^6
+    docs IS one cluster; pairing it would be the quadratic this path
+    exists to avoid — note star edges bypass ``min_shared`` by
+    design), connected components, keep min-id.
+
+    ``all_docs`` must be a one-column (doc_id:long) frame covering
+    every doc — docs absent from ``fps`` (shorter than k chars) come
+    back as keep=true singletons, never silently dropped.
+    Output: (doc_id, component, keep)."""
+    from neuroner_spark.operators.components import connected_components
+
+    kept, giants = capped_buckets(fps, ["fp"], max_bucket)
+    a = kept.select(F.col("doc_id").alias("a"), "fp")
+    b = kept.select(F.col("doc_id").alias("b"), "fp")
+    pairs = (
+        a.join(b, "fp")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"))
+    )
+    giant_edges = (
+        fps.join(giants.select("fp", "keep_id"), "fp")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias("src"), F.col("keep_id").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(pairs.union(giant_edges))
+    comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
+    return all_docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        comp_or_self.alias("component"),
+        (comp_or_self == F.col("doc_id")).alias("keep"),
+    )
+
+
+def winnow_giant_fps(fps: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
+    """Over-cap fingerprint buckets from a pre-materialized winnowing
+    frame (the no-silent-caps audit side output).
+    Output: (fp, n_docs, keep_id)."""
+    _, giants = capped_buckets(fps, ["fp"], max_bucket)
+    return giants
+
+
 def benchmark_contamination(
     docs: DataFrame,
     benchmark: DataFrame,

@@ -24,6 +24,14 @@ Stage graph (all DataFrame -> DataFrame; Iceberg commits in prod):
     -> near_components   capped pairs + giant star edges -> connected
                          components -> (doc_id, component, keep)
     -> near_deduped      keep=true docs
+    -> winnow_fps        winnowing fingerprints (optional, winnow=True;
+                         the partial-overlap shared scan — mirrors/
+                         quotations/templated pages the banded stage
+                         misses), with winnow_giant_fps as the
+                         no-silent-caps lineage side output
+    -> winnow_components fingerprint equi-join pairs + giant star
+                         edges -> connected components
+    -> winnow_deduped    keep=true docs
     -> span_cleaned      C4 duplicated-span REMOVAL, text rebuilt
                          (optional, remove_dup_spans=True)
     -> contamination     per-doc benchmark n-gram overlap (optional)
@@ -78,6 +86,11 @@ def run_corpus_prep(
     keep_lang: str | None = None,
     remove_dup_spans: bool = False,
     span_n_sents: int = 3,
+    winnow: bool = False,
+    winnow_k: int = 8,
+    winnow_w: int = 4,
+    winnow_min_shared: int = 8,
+    winnow_max_bucket: int | None = 1000,
     fast_hash: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -148,13 +161,75 @@ def run_corpus_prep(
         ),
     )
     fp_doc_set = fp_cap
+    if winnow:
+        # OPTIONAL partial-overlap dedup stage (r4 verdict #8): the
+        # banded stage catches whole-document near-dups; winnowing
+        # catches documents sharing long SUBSTRINGS (mirrors,
+        # quotations, templated pages with different boilerplate).
+        # Defaults (k=8, min_shared=8) are tuned against measured
+        # separation on English prose: a ~140-char shared passage
+        # yields ~60 shared selected fingerprints, while unrelated
+        # docs share 1-3 via common 8-grams ("and the ...") — the
+        # min_shared threshold is what keeps common-phrase noise from
+        # linking unrelated pages, so validate it per corpus before
+        # trusting the stage's drop counts.
+        # Same shape as banded: the fingerprint frame is the shared
+        # scan, over-cap fingerprints surface as a lineage stage
+        # (no-silent-caps), pairs + star edges fold into components.
+        from neuroner_spark.operators.dedup import (
+            winnow_components_from_fps,
+            winnow_giant_fps,
+            winnowing_fingerprints,
+        )
+
+        # fingerprint chain mirrors the parameter flow: the scan
+        # depends only on (k, w); the cap stages on winnow_max_bucket;
+        # min_shared first affects components — so changing it resumes
+        # the (expensive) fingerprint scan untouched
+        fp_win_scan = fp_cap + f"|winnow:k={winnow_k}:w={winnow_w}:fast={fast_hash}"
+        fp_win_cap = fp_win_scan + f"|cap={winnow_max_bucket}"
+        fp_win_cc = fp_win_cap + f"|s={winnow_min_shared}|cc"
+        near_in_w = near
+        win_fps = stage(
+            "winnow_fps",
+            fp_win_scan,
+            lambda: winnowing_fingerprints(
+                near_in_w, k=winnow_k, w=winnow_w, id_col=id_col,
+                text_col=text_col, fast_hash=fast_hash,
+            ),
+        )
+        stage(
+            "winnow_giant_fps",
+            fp_win_cap + "|giants",
+            lambda: winnow_giant_fps(win_fps, winnow_max_bucket),
+        )
+        win_comp = stage(
+            "winnow_components",
+            fp_win_cc,
+            lambda: winnow_components_from_fps(
+                win_fps,
+                near_in_w.select(F.col(id_col).cast("long").alias("doc_id")).distinct(),
+                min_shared=winnow_min_shared,
+                max_bucket=winnow_max_bucket,
+            ),
+        )
+        near = stage(
+            "winnow_deduped",
+            fp_win_cc + "|kept",
+            lambda: near_in_w.join(
+                win_comp.filter(F.col("keep")).select(F.col("doc_id").alias(id_col)),
+                id_col,
+                "left_semi",
+            ),
+        )
+        fp_doc_set = fp_win_cc
     if remove_dup_spans:
         # C4 §2.2 remedy stage: delete every non-first occurrence of a
         # duplicated span and rebuild the text.  Downstream gates run
         # on the CLEANED text, so their fingerprints chain through it.
         from neuroner_spark.operators.dedup import remove_duplicated_spans as _rm_spans
 
-        fp_doc_set = fp_cap + f"|spanrm:n={span_n_sents}"
+        fp_doc_set = fp_doc_set + f"|spanrm:n={span_n_sents}"
         near_in = near
 
         def _span_clean() -> DataFrame:

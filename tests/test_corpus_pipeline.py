@@ -208,3 +208,53 @@ def test_corpus_prep_resume_and_invalidation(spark, prep_out):
     assert not by["giant_buckets"].get("resumed")
     assert not by["near_components"].get("resumed")
     assert not by["corpus"].get("resumed")
+
+
+def test_corpus_prep_winnow_stage(spark, tmp_path):
+    """winnow=True inserts the partial-overlap dedup stage: two docs
+    sharing a long PASSAGE (but dissimilar overall, so the banded
+    whole-doc near-dup stage keeps both) collapse to the min-id one;
+    the stage family shows up in lineage (incl. the no-silent-caps
+    giant-fp side output) and resumes/invalidates like every other."""
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    shared = (
+        "the committee released its quarterly findings on infrastructure spending "
+        "and highlighted several bridges requiring immediate structural attention"
+    )
+    rows = [
+        (0, "alpha begins with completely original prose about gardens and the seasons. "
+            + shared + " afterwards alpha wanders toward recipes and the cooking of stews."),
+        (1, "bravo instead covers maritime navigation and the charting of coastal waters. "
+            + shared + " bravo then returns to lighthouses and the keeping of logs."),
+        (2, "charlie writes only of astronomy telescopes nebulae and the motion of planets "
+            "with a vocabulary chosen to overlap nobody else in this tiny corpus at all."),
+        (3, "delta discusses woodworking joinery dovetails and the seasoning of timber "
+            "using yet another disjoint set of words for the benefit of this test."),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "prep")
+    kw = dict(winnow=True, winnow_k=8, winnow_w=4, winnow_min_shared=8, max_bucket=100)
+    res = run_corpus_prep(spark, docs, out_dir, **kw)
+    stages = [m["stage"] for m in res["lineage"]]
+    for st in ["winnow_fps", "winnow_giant_fps", "winnow_components", "winnow_deduped"]:
+        assert st in stages, stages
+    # banded whole-doc near-dup kept all 4 (the docs are NOT global
+    # near-dups)...
+    by = {m["stage"]: m for m in res["lineage"]}
+    assert by["near_deduped"]["n_rows"] == 4
+    # ...but winnowing collapses the shared-passage pair to doc 0
+    assert by["winnow_deduped"]["n_rows"] == 3
+    kept = sorted(r["doc_id"] for r in res["near_deduped"].collect())
+    assert kept == [0, 2, 3]
+    # resume: identical rerun resumes every stage
+    res2 = run_corpus_prep(spark, docs, out_dir, **kw)
+    assert all(m.get("resumed") for m in res2["lineage"]), res2["lineage"]
+    # invalidation: min_shared feeds components (and below) but NOT
+    # the fingerprint scan or the banded stage
+    kw3 = dict(kw, winnow_min_shared=12)
+    res3 = run_corpus_prep(spark, docs, out_dir, **kw3)
+    by3 = {m["stage"]: m for m in res3["lineage"]}
+    assert by3["banded"].get("resumed") and by3["winnow_fps"].get("resumed")
+    assert not by3["winnow_components"].get("resumed")
+    assert not by3["corpus"].get("resumed")
