@@ -1,0 +1,187 @@
+"""ANN recall curves (r4 verdict #5): the numbers a user needs before
+trusting the probe-limiting knobs at scale.
+
+1. IVF recall@10 vs nprobe (1, 2, 4, 8, 16 of 16 cells) on the sf0.01
+   embeddings: the coarse quantizer is fit ONCE with the Spark
+   operator (``ivf_index``, KMeans seed=42); per-query probing is then
+   swept driver-side over the collected (bounded, 500-row) assignment
+   — after a parity check that the driver-side candidate set equals
+   ``ivf_topk``'s Spark output for a probe query, so the sweep
+   measures the real operator's index.
+
+2. LSH pair recall vs n_tables (1, 2, 4, 8) against exact cosine
+   ground truth.  The raw sf0.01 embeddings are near-orthogonal (max
+   pairwise cos ~0.44), where hyperplane LSH recall is low BY DESIGN —
+   so the sweep also plants seeded noisy clones at cos ~0.9 / 0.95 /
+   0.99 (the near-dup regime the operator exists for) and reports
+   recall per similarity band.  Signatures come from the Spark
+   operator (``lsh_all_signatures``) — collected (bounded) and swept
+   driver-side by masking tables.
+
+Writes BENCH/ann_recall.json and prints the tables.
+
+Usage: python scripts/ann_recall.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_CELLS = 16
+K = 10
+N_QUERIES = 25
+N_PLANES = 8
+DIM = 64
+N_TABLES = 8
+CLONES_PER_LEVEL = 40
+# relative-noise sigma s gives cos ~ 1/sqrt(1+s^2): s=0.14 -> ~0.99,
+# s=0.33 -> ~0.95, s=0.48 -> ~0.90 (measured means recorded in the
+# artifact as planted_pair_mean_cos)
+NOISE_LEVELS = {"cos~0.99": 0.14, "cos~0.95": 0.33, "cos~0.9": 0.48}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.operators.similarity import (
+        ivf_index,
+        ivf_topk,
+        lsh_all_signatures,
+    )
+    from neuroner_spark.session import get_spark
+
+    spark = get_spark(
+        "ann_recall", cores="8", shuffle_partitions=8,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    rows = emb.select("vec_id", "embedding").orderBy("vec_id").collect()
+    ids = np.array([r["vec_id"] for r in rows])
+    X = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    n = len(ids)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    cos = Xn @ Xn.T
+
+    # ---------- 1. IVF recall@K vs nprobe ----------
+    assigned, centroids = ivf_index(emb, k=N_CELLS, seed=42)
+    cell_rows = assigned.select("vec_id", "cell").collect()
+    cell = np.zeros(n, dtype=np.int64)
+    idx_of = {int(v): i for i, v in enumerate(ids)}
+    for r in cell_rows:
+        cell[idx_of[int(r["vec_id"])]] = r["cell"]
+
+    # parity check: driver-side candidates == the Spark operator's
+    # output for one query at nprobe=4
+    q0 = X[0]
+    d = centroids - q0[None, :]
+    probe4 = np.argsort((d * d).sum(axis=1))[:4]
+    mask = np.isin(cell, probe4)
+    scored = (Xn[mask] @ (q0 / np.linalg.norm(q0))).round(6)
+    cand_ids = ids[mask]
+    order = np.lexsort((cand_ids, -scored))[:K]
+    mine = [(int(cand_ids[i]), float(scored[i])) for i in order]
+    spark_rows = ivf_topk(emb, q0.tolist(), k=K, n_cells=N_CELLS, nprobe=4, seed=42).collect()
+    theirs = [(int(r["vec_id"]), float(r["cos_sim"])) for r in
+              sorted(spark_rows, key=lambda r: r["rank"])]
+    assert mine == theirs, f"driver-side IVF sweep diverges from ivf_topk:\n{mine}\n{theirs}"
+
+    rng = np.random.default_rng(7)
+    queries = rng.choice(n, size=N_QUERIES, replace=False)
+    ivf_recall = {}
+    for nprobe in [1, 2, 4, 8, 16]:
+        hits = 0
+        for qi in queries:
+            q = X[qi]
+            exact = np.argsort(-np.where(np.arange(n) == qi, -np.inf, cos[qi]))[:K]
+            d = centroids - q[None, :]
+            probes = np.argsort((d * d).sum(axis=1))[:nprobe]
+            in_probe = np.isin(cell, probes)
+            hits += sum(1 for j in exact if in_probe[j])
+        ivf_recall[nprobe] = round(hits / (K * len(queries)), 4)
+    print("IVF recall@10 vs nprobe (16 cells):", ivf_recall)
+
+    # ---------- 2. LSH pair recall vs n_tables ----------
+    # plant seeded noisy clones so the near-dup regime is populated
+    clones = []
+    clone_pairs = {lvl: [] for lvl in NOISE_LEVELS}
+    next_id = int(ids.max()) + 1
+    base_choice = rng.choice(n, size=CLONES_PER_LEVEL * len(NOISE_LEVELS), replace=False)
+    pos = 0
+    all_vecs = [(int(v), X[i].tolist()) for i, v in enumerate(ids)]
+    for lvl, noise in NOISE_LEVELS.items():
+        for _ in range(CLONES_PER_LEVEL):
+            bi = base_choice[pos]; pos += 1
+            v = X[bi] + noise * np.linalg.norm(X[bi]) / np.sqrt(DIM) * rng.standard_normal(DIM)
+            all_vecs.append((next_id, v.tolist()))
+            clone_pairs[lvl].append((int(ids[bi]), next_id))
+            next_id += 1
+    big = spark.createDataFrame(all_vecs, "vec_id long, embedding array<double>")
+    sigs = lsh_all_signatures(big, n_planes=N_PLANES, dim=DIM, n_tables=N_TABLES)
+    sig_rows = sigs.collect()
+    sig_map = {}
+    for r in sig_rows:
+        sig_map[(int(r["vec_id"]), int(r["table"]))] = int(r["sig"])
+    Xa = np.array([v for _, v in all_vecs])
+    Xa_n = Xa / np.linalg.norm(Xa, axis=1, keepdims=True)
+    aid = [i for i, _ in all_vecs]
+
+    def same_bucket(a, b, t_used):
+        return any(sig_map[(a, t)] == sig_map[(b, t)] for t in range(t_used))
+
+    # measured cosine per planted pair (the noise levels are nominal)
+    pair_cos = {}
+    idx_all = {v: i for i, v in enumerate(aid)}
+    for lvl, pairs in clone_pairs.items():
+        pair_cos[lvl] = float(np.mean([
+            Xa_n[idx_all[a]] @ Xa_n[idx_all[b]] for a, b in pairs
+        ]))
+    lsh_recall = {}
+    for t_used in [1, 2, 4, 8]:
+        lsh_recall[t_used] = {
+            lvl: round(
+                sum(same_bucket(a, b, t_used) for a, b in pairs) / len(pairs), 4
+            )
+            for lvl, pairs in clone_pairs.items()
+        }
+        # the weak-similarity regime, for honesty: true pairs at
+        # cos >= 0.3 among the RAW corpus
+        raw_true = [(int(ids[i]), int(ids[j])) for i in range(n) for j in range(i + 1, n)
+                    if cos[i, j] >= 0.3]
+        if raw_true:
+            lsh_recall[t_used]["raw cos>=0.3"] = round(
+                sum(same_bucket(a, b, t_used) for a, b in raw_true) / len(raw_true), 4
+            )
+    print("LSH pair recall vs n_tables:", json.dumps(lsh_recall, indent=1))
+
+    # sanity gates: recall must be monotone in the knob, and exhaustive
+    # settings must be lossless (nprobe = n_cells -> exact top-k)
+    vals = [ivf_recall[p] for p in [1, 2, 4, 8, 16]]
+    assert vals == sorted(vals), f"IVF recall not monotone in nprobe: {vals}"
+    assert vals[-1] == 1.0, f"full probe must be exact, got {vals[-1]}"
+    for lvl in NOISE_LEVELS:
+        curve = [lsh_recall[t][lvl] for t in [1, 2, 4, 8]]
+        assert curve == sorted(curve), f"LSH recall not monotone for {lvl}: {curve}"
+    out = {
+        "ivf": {"n_cells": N_CELLS, "k": K, "n_queries": N_QUERIES,
+                "recall_at_k_vs_nprobe": ivf_recall},
+        "lsh": {"n_planes": N_PLANES, "n_tables_swept": [1, 2, 4, 8],
+                "planted_pair_mean_cos": {k: round(v, 4) for k, v in pair_cos.items()},
+                "recall_vs_n_tables": lsh_recall},
+        "sf_dir": sf_dir,
+    }
+    path = os.path.join(REPO, "BENCH", "ann_recall.json")
+    json.dump(out, open(path, "w"), indent=1)
+    print(f"artifact: {path}")
+
+
+if __name__ == "__main__":
+    main()
