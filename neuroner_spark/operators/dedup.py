@@ -282,6 +282,7 @@ def near_dedup_corpus(
     id_col: str = "doc_id",
     text_col: str = "text",
     fast_hash: bool = False,
+    warn_giants: bool = True,
 ) -> DataFrame:
     """END-TO-END near-dup corpus dedup — the composition a 100 TB
     training-data pipeline actually runs: MinHash banding -> capped
@@ -294,13 +295,22 @@ def near_dedup_corpus(
     deduplicated corpus.  Giant buckets (> ``max_bucket`` members) are
     folded in as linear star edges, never pairs, so the r2-class
     quadratic blow-up cannot occur while their members still dedup.
-    """
+
+    ``warn_giants``: the no-silent-caps runtime warning costs one tiny
+    driver-blocking agg over the checkpointed banded frame.  Cheap,
+    but at 10^12 docs even tiny barrier jobs add latency — pipelines
+    that ALREADY materialize the giant-bucket side output (corpus_prep
+    records it as the ``giant_buckets`` lineage stage, where the
+    count is the manifest's ``n_rows``, no extra job) should pass
+    ``warn_giants=False``."""
     banded = minhash_banded(docs, n, bands, id_col, text_col, fast_hash).localCheckpoint()
     # no-silent-caps (r3 ADVICE): the banded frame is already
     # materialized, so counting the over-cap buckets costs one tiny agg
     # job — a capped run announces itself without querying side outputs
     n_giants = (
-        giant_buckets_from_banded(banded, max_bucket).count() if max_bucket is not None else 0
+        giant_buckets_from_banded(banded, max_bucket).count()
+        if (max_bucket is not None and warn_giants)
+        else 0
     )
     if n_giants:
         import logging

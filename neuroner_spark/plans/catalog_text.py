@@ -469,6 +469,15 @@ def q_dedup_embedding(spark, sf_dir):
     return embedding_blocked_pairs(emb, block_col="label", min_cos=0.2, max_block=1000)
 
 
+# ASYMMETRY, by design: this SQL is the UNCAPPED all-pairs form —
+# DuckDB models no max_block.  It is value-identical to the Spark
+# query only while every label block at the oracle's scale stays under
+# max_block=1000 (true at sf0.001/0.01/0.1: the largest block is ~100
+# vectors).  If the driver ever ran oracles at a scale where a block
+# tops 1000, the Spark side would route that block to the
+# embedding_giant_blocks side output and this oracle would diverge —
+# correctly, because the cap IS the semantic difference being tested
+# elsewhere (see the 10x sweep's dedup_embedding expectations).
 SQL_DEDUP_EMBEDDING = """
 WITH expanded AS (
   SELECT x.label, x.vec_id AS a, y.vec_id AS b,

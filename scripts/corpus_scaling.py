@@ -1,0 +1,109 @@
+"""Corpus-prep scaling at a size where COMPUTE dominates the stage
+barriers (r4 verdict #6).
+
+The r4 two-size decomposition at 50k docs measured F ~= 33 s of
+fixed stage-barrier cost vs C ~= 2.6 s of parallel compute — the
+claimed efficiency rested on extrapolating T = F + C/p.  This script
+replaces the extrapolation with a direct measurement: the FULL
+materialized corpus-prep pipeline on a replicate-1000x corpus
+(5M docs from sf0.1), run at local[2] and local[8] in fresh JVMs
+(same N->4N convention as scripts/bench_scaling.py: the host's 32
+vCPUs are shared, so 4x hardware genuinely exists only up to ~8),
+efficiency = (T_2 / T_8) / 4.
+
+The replicated corpus is written ONCE and shared by both runs; each
+run gets a fresh out_dir so nothing resumes.  Writes
+BENCH/corpus_scaling.json and appends the measurement to
+BENCH/BASELINE.md.
+
+Usage: python scripts/corpus_scaling.py [replicate] [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+JOB = r"""
+import json, shutil, sys, tempfile, time
+sys.path.insert(0, {repo!r})
+from neuroner_spark.session import get_spark
+
+cpus = int(sys.argv[1])
+corpus = sys.argv[2]
+spark = get_spark("corpus_scaling", cores=cpus, shuffle_partitions=max(cpus, 8),
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+docs = spark.read.parquet(corpus)
+n_docs = docs.count()  # warm the scan; not part of the timed pipeline
+out = tempfile.mkdtemp(prefix=f"corpus_scale_{{cpus}}_")
+t0 = time.time()
+res = run_corpus_prep(spark, docs, out)
+n_final = res["corpus"].count()
+wall = time.time() - t0
+shutil.rmtree(out, ignore_errors=True)
+print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "n_final": n_final,
+                   "wall_s": round(wall, 1),
+                   "docs_per_sec": round(n_docs / wall, 1)}}))
+"""
+
+
+def main() -> None:
+    replicate = int(sys.argv[1]) if len(sys.argv) > 1 else 1000
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.session import get_spark
+
+    spark = get_spark(
+        "corpus_scaling_prep", cores="32", shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    corpus_dir = tempfile.mkdtemp(prefix=f"corpus_x{replicate}_")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    big = (
+        docs.crossJoin(spark.range(replicate).withColumnRenamed("id", "rep"))
+        .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(1_000_000_000))
+        .drop("rep")
+        .repartition(64, F.xxhash64("doc_id"))
+    )
+    big.write.mode("overwrite").parquet(corpus_dir)
+    spark.stop()
+
+    job = JOB.format(repo=REPO)
+    results = {}
+    for cpus in (8, 2):  # big first: fails fast if memory is the issue
+        p = subprocess.run(
+            [sys.executable, "-c", job, str(cpus), corpus_dir],
+            capture_output=True, text=True, timeout=7200,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            print(p.stdout[-2000:], p.stderr[-2000:])
+            raise SystemExit(f"cpus={cpus} run failed")
+        results[cpus] = json.loads(line[-1])
+        print(results[cpus])
+    shutil.rmtree(corpus_dir, ignore_errors=True)
+    eff = round(results[2]["wall_s"] / results[8]["wall_s"] / 4, 3)
+    out = {
+        "replicate": replicate,
+        "n_docs": results[8]["n_docs"],
+        "local2": results[2],
+        "local8": results[8],
+        "efficiency_2_to_8": eff,
+    }
+    print(json.dumps(out))
+    json.dump(out, open(os.path.join(REPO, "BENCH", "corpus_scaling.json"), "w"), indent=1)
+
+
+if __name__ == "__main__":
+    main()
