@@ -46,7 +46,10 @@ docs = spark.read.parquet(corpus)
 n_docs = docs.count()  # warm the scan; not part of the timed pipeline
 out = tempfile.mkdtemp(prefix=f"corpus_scale_{{cpus}}_")
 t0 = time.time()
-res = run_corpus_prep(spark, docs, out)
+# max_bucket=100: the 1000-clone clusters must take the star-edge
+# path (bucket size ~replicate); pairing them would be the exact
+# quadratic the cap exists to prevent
+res = run_corpus_prep(spark, docs, out, max_bucket=100)
 n_final = res["corpus"].count()
 wall = time.time() - t0
 shutil.rmtree(out, ignore_errors=True)
@@ -70,9 +73,18 @@ def main() -> None:
     )
     corpus_dir = tempfile.mkdtemp(prefix=f"corpus_x{replicate}_")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    # replicas must be TEXTUALLY distinct (a unique suffix token) or
+    # the pipeline's FIRST stage — exact dedup on the md5 fingerprint —
+    # collapses the 1000 copies immediately and no downstream stage
+    # ever sees 5M docs (measured: 5M identical-text replicas ran the
+    # whole pipeline in 28 s because only the fingerprint groupBy
+    # scaled).  With distinct suffixes the clone clusters instead
+    # exercise the banding + giant-star-edge near-dup path — the
+    # boilerplate-heavy shape of a real crawl.
     big = (
         docs.crossJoin(spark.range(replicate).withColumnRenamed("id", "rep"))
         .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(1_000_000_000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zrep"), F.col("rep").cast("string")))
         .drop("rep")
         .repartition(64, F.xxhash64("doc_id"))
     )
