@@ -52,10 +52,17 @@ t0 = time.time()
 res = run_corpus_prep(spark, docs, out, max_bucket=100)
 n_final = res["corpus"].count()
 wall = time.time() - t0
+# per-stage decomposition: a stage whose wall does NOT shrink with p
+# (or that writes with 1-2 partitions) is the serial share that caps
+# Amdahl efficiency — the thing to find at 1000-executor scale
+stages = [{{"stage": m["stage"], "wall_s": m.get("wall_s"),
+            "n_rows": m.get("n_rows"), "n_parts": m.get("n_partitions")}}
+          for m in res["lineage"]]
 shutil.rmtree(out, ignore_errors=True)
 print(json.dumps({{"cpus": cpus, "n_docs": n_docs, "n_final": n_final,
                    "wall_s": round(wall, 1),
-                   "docs_per_sec": round(n_docs / wall, 1)}}))
+                   "docs_per_sec": round(n_docs / wall, 1),
+                   "stages": stages}}))
 """
 
 
