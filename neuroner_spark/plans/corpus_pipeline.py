@@ -92,6 +92,7 @@ def run_corpus_prep(
     winnow_min_shared: int = 8,
     winnow_max_bucket: int | None = 1000,
     fast_hash: bool = False,
+    broadcast_gates: bool = True,
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> dict:
@@ -108,9 +109,26 @@ def run_corpus_prep(
     ``id_col`` must be numeric (castable to long) — connected
     components propagates MIN ids.  For url-keyed crawl tables, derive
     the id first (``xxhash64(url)``) and keep the url alongside.
+
+    ``broadcast_gates``: hint-broadcast the id-set side of every gate
+    semi join (keep-ids, quality-ok ids, decontaminated ids).  Without
+    the hint Catalyst estimates the filtered side from the FULL stage
+    table's size and plans SortMergeJoin — whose map side shuffles the
+    whole corpus WITH the text payload before AQE can demote it
+    (measured at 5M docs: the near_deduped stage spent ~18 s in a
+    disk-bound text shuffle that a broadcast avoids entirely, and
+    disk-bound work is why it showed a 1.07x CPU speedup in the
+    two-size run).  Keep True while the survivor id-set fits executor
+    memory (~10^8 longs); at true web scale set False and get the
+    shuffle-free join from bucketed storage instead (Iceberg
+    bucket(doc_id) on the stage tables — the production swap noted in
+    the module docstring).
     """
     os.makedirs(out_dir, exist_ok=True)
     lineage: list[dict] = []
+
+    def _gate(id_frame):
+        return F.broadcast(id_frame) if broadcast_gates else id_frame
     fp_docs = _fingerprint(docs.select(id_col, text_col), "corpus")
 
     def stage(name: str, fp: str, build):
@@ -155,7 +173,7 @@ def run_corpus_prep(
         "near_deduped",
         fp_cap + "|kept",
         lambda: exact.join(
-            components.filter(F.col("keep")).select(F.col("doc_id").alias(id_col)),
+            _gate(components.filter(F.col("keep")).select(F.col("doc_id").alias(id_col))),
             id_col,
             "left_semi",
         ),
@@ -217,7 +235,7 @@ def run_corpus_prep(
             "winnow_deduped",
             fp_win_cc + "|kept",
             lambda: near_in_w.join(
-                win_comp.filter(F.col("keep")).select(F.col("doc_id").alias(id_col)),
+                _gate(win_comp.filter(F.col("keep")).select(F.col("doc_id").alias(id_col))),
                 id_col,
                 "left_semi",
             ),
@@ -279,12 +297,12 @@ def run_corpus_prep(
         ok = quality.filter(
             (F.col("quality") >= min_quality) & (~F.col("repetition_flagged"))
         ).select(F.col("doc_id").alias(id_col))
-        kept = near.join(ok, id_col, "left_semi")
+        kept = near.join(_gate(ok), id_col, "left_semi")
         if contamination is not None:
             clean = contamination.filter(~F.col("flagged")).select(
                 F.col("doc_id").alias(id_col)
             )
-            kept = kept.join(clean, id_col, "left_semi")
+            kept = kept.join(_gate(clean), id_col, "left_semi")
         return kept
 
     corpus = stage("corpus", fp_final + f"|q>={min_quality}", build_corpus)
