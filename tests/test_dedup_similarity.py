@@ -526,3 +526,43 @@ def test_repetition_metrics_keeps_tiny_docs(spark):
     assert set(out) == {"0", "1"}  # operator casts doc_id to string
     assert out["0"]["top_bigram_frac"] is None
     assert out["0"]["flagged"] is True  # one word = 100% top-word fraction
+
+
+def test_winnow_components_giant_path(spark):
+    """The winnowing components' over-cap path: a boilerplate
+    fingerprint shared by more docs than max_bucket produces star
+    edges (bypassing min_shared by design), collapsing the pile to
+    min-id; docs too short to fingerprint survive as singletons."""
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.operators.dedup import (
+        winnow_components_from_fps,
+        winnow_giant_fps,
+        winnowing_fingerprints,
+    )
+
+    boiler = (
+        "subscribe to our newsletter for the latest updates and follow "
+        "our channels for more content every single day of the week"
+    )
+    rows = [(i, boiler + f" tail{i} variant") for i in range(10)]
+    rows += [(100, "a completely different article about chess endgames and rook studies")]
+    rows += [(101, "hi")]  # shorter than k chars -> no fingerprints
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    fps = winnowing_fingerprints(docs, k=8, w=4)
+    giants = winnow_giant_fps(fps, max_bucket=4).collect()
+    assert giants and all(g["n_docs"] > 4 for g in giants)
+    assert {g["keep_id"] for g in giants} == {0}
+    out = {r["doc_id"]: r for r in winnow_components_from_fps(
+        fps,
+        docs.select(F.col("doc_id").cast("long")).distinct(),
+        min_shared=999,  # pairs impossible -> only star edges can link
+        max_bucket=4,
+    ).collect()}
+    assert len(out) == 12
+    # the 10 boilerplate docs collapse to component 0, keep only doc 0
+    for i in range(10):
+        assert out[i]["component"] == 0 and out[i]["keep"] == (i == 0)
+    # the distinct article and the unfingerprintable doc are singletons
+    assert out[100]["keep"] and out[100]["component"] == 100
+    assert out[101]["keep"] and out[101]["component"] == 101
