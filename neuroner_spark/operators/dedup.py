@@ -500,14 +500,25 @@ def winnow_components_from_fps(
     max_bucket: int | None = 1000,
 ) -> DataFrame:
     """Partial-overlap dedup components over a PRE-MATERIALIZED
-    winnowing-fingerprint frame — the winnowing twin of
-    ``near_dedup_from_banded``, same shape: fingerprint equi-join for
-    pairs (docs sharing >= ``min_shared`` fingerprints are
-    partial-overlap duplicates), buckets over ``max_bucket`` folded in
-    as O(members) star edges (a boilerplate fingerprint shared by 10^6
-    docs IS one cluster; pairing it would be the quadratic this path
-    exists to avoid — note star edges bypass ``min_shared`` by
-    design), connected components, keep min-id.
+    winnowing-fingerprint frame: fingerprint equi-join for pairs (docs
+    sharing >= ``min_shared`` fingerprints are partial-overlap
+    duplicates), connected components, keep min-id.
+
+    Over-``max_bucket`` fingerprint buckets are DROPPED from pairing —
+    deliberately NOT star-edged like the banded path's giant buckets.
+    The evidence strength differs: a minhash band encodes WHOLE-DOC
+    similarity, so an over-cap band bucket really is one duplicate
+    cluster; a single winnowing fingerprint witnesses only an
+    ~(k+w-1)-char shared substring, and a fingerprint shared by more
+    docs than ``max_bucket`` is almost always a common phrase
+    ("subscribe to our newsletter"), i.e. stopword-grade noise.
+    Star-edging such buckets merges unrelated documents — measured on
+    a 500k-doc synthetic corpus, it collapsed the ENTIRE corpus to one
+    keep.  Dropping them is the same discipline as ``max_df`` on
+    shingles; the dropped buckets surface in ``winnow_giant_fps`` (and
+    the pipeline's ``winnow_giant_fps`` lineage stage), and genuine
+    whole-document boilerplate piles are the BANDED stage's job, which
+    corpus-prep always runs first.
 
     ``all_docs`` must be a one-column (doc_id:long) frame covering
     every doc — docs absent from ``fps`` (shorter than k chars) come
@@ -515,7 +526,7 @@ def winnow_components_from_fps(
     Output: (doc_id, component, keep)."""
     from neuroner_spark.operators.components import connected_components
 
-    kept, giants = capped_buckets(fps, ["fp"], max_bucket)
+    kept, _ = capped_buckets(fps, ["fp"], max_bucket)
     a = kept.select(F.col("doc_id").alias("a"), "fp")
     b = kept.select(F.col("doc_id").alias("b"), "fp")
     pairs = (
@@ -526,13 +537,7 @@ def winnow_components_from_fps(
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    giant_edges = (
-        fps.join(giants.select("fp", "keep_id"), "fp")
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select(F.col("doc_id").alias("src"), F.col("keep_id").alias("dst"))
-        .distinct()
-    )
-    comp = connected_components(pairs.union(giant_edges))
+    comp = connected_components(pairs)
     comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
     return all_docs.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
@@ -545,7 +550,9 @@ def winnow_components_from_fps(
 
 def winnow_giant_fps(fps: DataFrame, max_bucket: int | None = 1000) -> DataFrame:
     """Over-cap fingerprint buckets from a pre-materialized winnowing
-    frame (the no-silent-caps audit side output).
+    frame — the no-silent-caps audit side output for the fingerprints
+    ``winnow_components_from_fps`` DROPS as common-phrase noise (see
+    its docstring for why they are dropped, not star-edged).
     Output: (fp, n_docs, keep_id)."""
     _, giants = capped_buckets(fps, ["fp"], max_bucket)
     return giants

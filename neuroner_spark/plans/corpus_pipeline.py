@@ -29,8 +29,8 @@ Stage graph (all DataFrame -> DataFrame; Iceberg commits in prod):
                          quotations/templated pages the banded stage
                          misses), with winnow_giant_fps as the
                          no-silent-caps lineage side output
-    -> winnow_components fingerprint equi-join pairs + giant star
-                         edges -> connected components
+    -> winnow_components fingerprint equi-join pairs (hot fps
+                         dropped as noise) -> connected components
     -> winnow_deduped    keep=true docs
     -> span_cleaned      C4 duplicated-span REMOVAL, text rebuilt
                          (optional, remove_dup_spans=True)
@@ -191,9 +191,12 @@ def run_corpus_prep(
         # min_shared threshold is what keeps common-phrase noise from
         # linking unrelated pages, so validate it per corpus before
         # trusting the stage's drop counts.
-        # Same shape as banded: the fingerprint frame is the shared
-        # scan, over-cap fingerprints surface as a lineage stage
-        # (no-silent-caps), pairs + star edges fold into components.
+        # Same scan discipline as banded (the fingerprint frame is the
+        # shared scan; over-cap fingerprints surface as a lineage
+        # stage) but over-cap fps are DROPPED, not star-edged — a hot
+        # fingerprint is a common phrase, not duplicate evidence (see
+        # winnow_components_from_fps' docstring; star-edging measured
+        # a 500k-doc corpus into ONE keep).
         from neuroner_spark.operators.dedup import (
             winnow_components_from_fps,
             winnow_giant_fps,

@@ -528,11 +528,14 @@ def test_repetition_metrics_keeps_tiny_docs(spark):
     assert out["0"]["flagged"] is True  # one word = 100% top-word fraction
 
 
-def test_winnow_components_giant_path(spark):
-    """The winnowing components' over-cap path: a boilerplate
-    fingerprint shared by more docs than max_bucket produces star
-    edges (bypassing min_shared by design), collapsing the pile to
-    min-id; docs too short to fingerprint survive as singletons."""
+def test_winnow_components_drops_hot_fps(spark):
+    """Over-cap fingerprint buckets are DROPPED, not star-edged: a
+    common phrase shared by more docs than max_bucket is stopword-
+    grade noise (star-edging it collapsed a 500k-doc corpus to ONE
+    keep — measured), so the pile stays un-merged through THIS stage
+    (whole-doc boilerplate piles are the banded stage's job), while
+    the bucket surfaces in the winnow_giant_fps audit output; docs too
+    short to fingerprint survive as singletons."""
     from pyspark.sql import functions as F
 
     from neuroner_spark.operators.dedup import (
@@ -550,19 +553,28 @@ def test_winnow_components_giant_path(spark):
     rows += [(101, "hi")]  # shorter than k chars -> no fingerprints
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     fps = winnowing_fingerprints(docs, k=8, w=4)
+    # the hot boilerplate buckets are visible in the audit output...
     giants = winnow_giant_fps(fps, max_bucket=4).collect()
     assert giants and all(g["n_docs"] > 4 for g in giants)
     assert {g["keep_id"] for g in giants} == {0}
+    # ...but contribute NO edges: every doc stays a keep=true singleton
+    # (the 10 boilerplate docs share only over-cap fingerprints)
     out = {r["doc_id"]: r for r in winnow_components_from_fps(
         fps,
         docs.select(F.col("doc_id").cast("long")).distinct(),
-        min_shared=999,  # pairs impossible -> only star edges can link
+        min_shared=2,
         max_bucket=4,
     ).collect()}
     assert len(out) == 12
-    # the 10 boilerplate docs collapse to component 0, keep only doc 0
+    assert all(r["keep"] and r["component"] == d for d, r in out.items())
+    # raising the cap above the pile size re-enables pairing through
+    # the (now within-cap) shared fingerprints -> the pile merges
+    merged = {r["doc_id"]: r for r in winnow_components_from_fps(
+        fps,
+        docs.select(F.col("doc_id").cast("long")).distinct(),
+        min_shared=2,
+        max_bucket=1000,
+    ).collect()}
     for i in range(10):
-        assert out[i]["component"] == 0 and out[i]["keep"] == (i == 0)
-    # the distinct article and the unfingerprintable doc are singletons
-    assert out[100]["keep"] and out[100]["component"] == 100
-    assert out[101]["keep"] and out[101]["component"] == 101
+        assert merged[i]["component"] == 0 and merged[i]["keep"] == (i == 0)
+    assert merged[100]["keep"] and merged[101]["keep"]
