@@ -87,7 +87,7 @@ def run_corpus_prep(
     remove_dup_spans: bool = False,
     span_n_sents: int = 3,
     winnow: bool = False,
-    winnow_k: int = 8,
+    winnow_k: int = 16,
     winnow_w: int = 4,
     winnow_min_shared: int = 8,
     winnow_max_bucket: int | None = 1000,
@@ -184,12 +184,14 @@ def run_corpus_prep(
         # banded stage catches whole-document near-dups; winnowing
         # catches documents sharing long SUBSTRINGS (mirrors,
         # quotations, templated pages with different boilerplate).
-        # Defaults (k=8, min_shared=8) are tuned against measured
-        # separation on English prose: a ~140-char shared passage
-        # yields ~60 shared selected fingerprints, while unrelated
-        # docs share 1-3 via common 8-grams ("and the ...") — the
-        # min_shared threshold is what keeps common-phrase noise from
-        # linking unrelated pages, so validate it per corpus before
+        # Defaults (k=16, min_shared=8): the k-sweep at 50k docs
+        # measured k=16/25 dominating k=8 on EVERY axis for dedup —
+        # recall on 10-clone clusters (45.2-45.5k of 45k merges vs
+        # 38.9k at k=8), hot-bucket noise (0-19 buckets vs 1,646),
+        # and wall (31-92 s vs 137 s): longer k-grams are rarer, so
+        # window minima stop skewing toward corpus-common grams
+        # (BENCH/BASELINE.md round-5 winnowing sections). min_shared
+        # still gates pair evidence; validate both per corpus before
         # trusting the stage's drop counts.
         # Same scan discipline as banded (the fingerprint frame is the
         # shared scan; over-cap fingerprints surface as a lineage
