@@ -35,7 +35,16 @@ def url_host(url: Column) -> Column:
     TLD and ``url_domain``'s exception branch could never fire."""
     host = F.lower(F.regexp_extract(url, r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]+)", 1))
     host = F.regexp_replace(host, r":\d+$", "")
-    return F.when(host.isin(TLD_EXCEPTIONS), host).otherwise(
+    return _strip_www(host)
+
+
+def _strip_www(host: Column) -> Column:
+    """Strip a leading ``www.`` UNLESS the (port-stripped) host is a
+    PSL exception rule (``!www.ck``) — shared by ``url_host`` and
+    ``canonical_url`` so the dedup key and the domain parser agree on
+    which hosts keep their 'www' label."""
+    bare = F.regexp_replace(host, r":\d+$", "")
+    return F.when(bare.isin(TLD_EXCEPTIONS), host).otherwise(
         F.regexp_replace(host, r"^www\.", "")
     )
 
@@ -172,6 +181,6 @@ def canonical_url(url: Column) -> Column:
     rest = F.regexp_replace(tidy, r"^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
     host_part = F.regexp_extract(rest, r"^([^/?#]+)", 1)
     tail = F.substring(rest, F.length(host_part) + 1, F.lit(1 << 20))
-    host = F.regexp_replace(F.lower(host_part), r"^www\.", "")
+    host = _strip_www(F.lower(host_part))
     path_q = F.regexp_replace(tail, r"/(\?|$)", r"$1")  # strip trailing / before query/end
     return F.concat(scheme, F.lit("://"), host, path_q)

@@ -107,17 +107,23 @@ def run_streaming_pipeline(
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        # the localCheckpoint below pins RDD blocks in executor
-        # storage; under a continuous (non-availableNow) trigger those
-        # would accumulate across micro-batches if left to driver GC —
-        # so the pinned frame is captured and explicitly unpersisted
-        # once the batch's writes are done.
+        # the persist below pins blocks in executor storage; under a
+        # continuous (non-availableNow) trigger those would accumulate
+        # across micro-batches if left to driver GC — so the pinned
+        # frame is captured and explicitly unpersisted once the
+        # batch's writes are done.  DataFrame.unpersist targets the
+        # SAME cached plan that persist() registered; the previous
+        # localCheckpoint + df.rdd.unpersist pairing did NOT
+        # (DataFrame.rdd builds a fresh, never-persisted RDD, so the
+        # checkpointed blocks leaked).  Eager pinning isn't required
+        # here — the first action (the rejects write) populates the
+        # cache for the accepted-side reuse.
         pinned: list[DataFrame] = []
         try:
             _run_batch(batch_df, batch_id, pinned)
         finally:
             for df in pinned:
-                df.rdd.unpersist()
+                df.unpersist(blocking=False)
 
     def _run_batch(batch_df: DataFrame, batch_id: int, pinned: list) -> None:
         if min_quality is not None or benchmark is not None:
@@ -141,7 +147,7 @@ def run_streaming_pipeline(
             gated = gated.withColumn("_reject_reason", reason)
             # the batch frame branches into rejects + accepted; pin it
             # so the gate expressions (and any tagger upstream) run once
-            gated = gated.localCheckpoint()
+            gated = gated.persist()
             pinned.append(gated)
             if rejects_dir is not None:
                 rejects = gated.filter(F.col("_reject_reason").isNotNull()).select(

@@ -197,6 +197,28 @@ def test_canonical_url_idempotent_property(spark):
     assert bad == [], bad[:5]
 
 
+def test_canonical_url_psl_exception_www(spark):
+    """r6 (r5 ADVICE): canonical_url's www-strip shares url_host's
+    PSL-exception conditional — the registrable !www.ck host must not
+    collapse onto the bare wildcard TLD in the dedup key."""
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.functions.urls import canonical_url
+
+    cases = {
+        "http://www.ck/x": "http://www.ck/x",
+        "http://WWW.ck/x?utm_a=1": "http://www.ck/x",
+        "http://www.ck:8080/x": "http://www.ck:8080/x",
+        "http://www.example.com/x": "http://example.com/x",
+        "http://www.co.uk/x": "http://co.uk/x",  # not an exception rule
+    }
+    df = spark.createDataFrame([(u,) for u in cases], "url string").select(
+        "url", canonical_url(F.col("url")).alias("c")
+    )
+    got = {r["url"]: r["c"] for r in df.collect()}
+    assert got == cases
+
+
 def test_lang_guess_widened_and_misroute_contract(spark):
     """r5: the stopword table covers 15 languages; dict order is the
     tie-break; a language OUTSIDE the table misroutes to some covered

@@ -200,6 +200,7 @@ def test_streaming_intake_gates_route_rejects(spark, tmp_path):
         str(tmp_path / "rejects"),
     )
     bench = spark.createDataFrame([(0, bench_text)], "doc_id long, text string")
+    pinned_before = spark.sparkContext._jsc.getPersistentRDDs().size()
     kwargs = dict(
         min_quality=0.4,
         benchmark=bench,
@@ -220,6 +221,11 @@ def test_streaming_intake_gates_route_rejects(spark, tmp_path):
     run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark), **kwargs)
     assert spark.read.parquet(out).count() == n1
     assert spark.read.parquet(rejects).count() == rej.count()
+    # the per-batch pinned gate frame is actually RELEASED (r5 ADVICE:
+    # the old localCheckpoint + df.rdd.unpersist pairing leaked the
+    # pinned JVM blocks — DataFrame.rdd builds a fresh RDD); under a
+    # continuous trigger a leak here accumulates without bound
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() == pinned_before
 
 
 def test_multimodal_plumbing(spark):
