@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from neuroner_spark.functions.text_analysis import (
+    SCRIPT_RANGES,
+    SCRIPT_ROUTES,
     STOPWORDS,
     avg_token_len,
     fingerprint,
@@ -94,27 +96,38 @@ def _sw_list(lang):
 
 
 def _lang_id_sql() -> str:
-    """Generated from the SAME ``STOPWORDS`` table (languages + dict
-    order = tie-break) as ``lang_guess``, so widening the table can
-    never drift the two sides apart."""
+    """Generated from the SAME ``STOPWORDS`` + ``SCRIPT_RANGES`` /
+    ``SCRIPT_ROUTES`` tables (languages + dict order = tie-break;
+    script routing order + thresholds, r6) as ``lang_guess``, so
+    widening either table can never drift the two sides apart."""
     langs = list(STOPWORDS)
     score_cols = ",\n         ".join(
         f"len(list_filter(string_split(lower(text), ' '), "
         f"t -> list_contains({_sw_list(l)}, t))) AS s_{l}"
         for l in langs
     )
-    cases = "\n            ".join(
+    ratio_cols = ",\n         ".join(
+        f"length(regexp_replace(text, '[^{SCRIPT_RANGES[s]}]', '', 'g')) * 1.0"
+        f" / greatest(length(regexp_replace(text, '\\s', '', 'g')), 1) AS r_{s}"
+        for s, _, _ in SCRIPT_ROUTES
+    )
+    script_cases = "\n            ".join(
+        f"WHEN r_{s} >= {thr} THEN '{lang}'" for s, lang, thr in SCRIPT_ROUTES
+    )
+    sw_cases = "\n            ".join(
         "WHEN " + " AND ".join(f"s_{l} >= s_{l2}" for l2 in langs[i + 1 :]) + f" THEN '{l}'"
         for i, l in enumerate(langs[:-1])
     )
     return f"""
 WITH scored AS (
   SELECT lang,
+         {ratio_cols},
          {score_cols}
   FROM documents
 )
 SELECT lang,
-       CASE {cases}
+       CASE {script_cases}
+            {sw_cases}
             ELSE '{langs[-1]}' END AS guess,
        count(*) AS n
 FROM scored GROUP BY 1, 2
@@ -564,6 +577,13 @@ FROM reach GROUP BY node
 def q_winnowing(spark, sf_dir):
     from neuroner_spark.operators.dedup import winnowing_fingerprints
 
+    # k=5/w=4 here, NOT the corpus_pipeline default k=16/w=4 (r5
+    # verdict "what's wrong" #3): the sf0.01 fixture docs are short
+    # enough that k=16 leaves many below the k+w-1 minimum and the
+    # oracle would mostly exercise the short-doc fallback; small k
+    # keeps the windowed-min selection itself under oracle check.
+    # The k=16 default is exercised by the pipeline tests and the
+    # measured k-sweep (BENCH/BASELINE.md).
     return winnowing_fingerprints(_docs(spark, sf_dir), k=5, w=4)
 
 

