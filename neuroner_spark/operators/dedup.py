@@ -327,7 +327,10 @@ def near_dedup_corpus(
 
 
 def near_dedup_from_banded(
-    banded: DataFrame, all_docs: DataFrame, max_bucket: int | None = 1000
+    banded: DataFrame,
+    all_docs: DataFrame,
+    max_bucket: int | None = 1000,
+    iteration_log: list | None = None,
 ) -> DataFrame:
     """The components+keep-one half of ``near_dedup_corpus``, over a
     PRE-MATERIALIZED banded frame (the pipeline entry point: the
@@ -342,7 +345,7 @@ def near_dedup_from_banded(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
     giant_edges = giant_bucket_edges_from_banded(banded, max_bucket)
-    comp = connected_components(pairs.union(giant_edges))
+    comp = connected_components(pairs.union(giant_edges), iteration_log=iteration_log)
     comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
     return all_docs.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
@@ -498,6 +501,7 @@ def winnow_components_from_fps(
     all_docs: DataFrame,
     min_shared: int = 2,
     max_bucket: int | None = 1000,
+    iteration_log: list | None = None,
 ) -> DataFrame:
     """Partial-overlap dedup components over a PRE-MATERIALIZED
     winnowing-fingerprint frame: fingerprint equi-join for pairs (docs
@@ -537,7 +541,7 @@ def winnow_components_from_fps(
         .filter(F.col("n_shared") >= min_shared)
         .select(F.col("a").alias("src"), F.col("b").alias("dst"))
     )
-    comp = connected_components(pairs)
+    comp = connected_components(pairs, iteration_log=iteration_log)
     comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
     return all_docs.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"

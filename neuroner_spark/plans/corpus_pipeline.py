@@ -54,7 +54,12 @@ from neuroner_spark.operators.dedup import (
     minhash_banded,
     near_dedup_from_banded,
 )
-from neuroner_spark.plans.kg_pipeline import _fingerprint, _try_resume, _write_stage
+from neuroner_spark.plans.kg_pipeline import (
+    _fingerprint,
+    _manifest_path,
+    _try_resume,
+    _write_stage,
+)
 
 
 def exact_dedup_keep(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -131,12 +136,21 @@ def run_corpus_prep(
         return F.broadcast(id_frame) if broadcast_gates else id_frame
     fp_docs = _fingerprint(docs.select(id_col, text_col), "corpus")
 
-    def stage(name: str, fp: str, build):
+    def stage(name: str, fp: str, build, extra_fn=None):
         if resume:
             cached = _try_resume(spark, out_dir, name, fp, lineage)
             if cached is not None:
                 return cached
-        return _write_stage(build(), out_dir, name, fp, lineage)
+        out = _write_stage(build(), out_dir, name, fp, lineage)
+        if extra_fn is not None:
+            extra = extra_fn()
+            if extra:
+                # fold build-time detail (e.g. per-CC-iteration walls)
+                # into the stage manifest so a resumed run replays it
+                lineage[-1].update(extra)
+                with open(_manifest_path(out_dir, name), "w") as f:
+                    json.dump(lineage[-1], f)
+        return out
 
     exact = stage("exact_deduped", fp_docs + "|exact", lambda: exact_dedup_keep(docs, id_col, text_col))
     fp_base = fp_docs + "|exact"
@@ -162,12 +176,22 @@ def run_corpus_prep(
     giants = stage(
         "giant_buckets", fp_cap, lambda: giant_buckets_from_banded(banded, max_bucket)
     )
+    # per-CC-iteration lineage (r5 verdict #5): the 5M-doc
+    # near_components stage wall swung 1.2-4x across runs; logging each
+    # large-star/small-star round's edge count + wall into the manifest
+    # attributes the variance (rounds vs the final join = stage wall
+    # minus the rounds) instead of bounding it by rerun.
+    cc_log: list[dict] = []
     components = stage(
         "near_components",
         fp_cap + "|cc",
         lambda: near_dedup_from_banded(
-            banded, exact.select(F.col(id_col).cast("long").alias("doc_id")).distinct(), max_bucket
+            banded,
+            exact.select(F.col(id_col).cast("long").alias("doc_id")).distinct(),
+            max_bucket,
+            iteration_log=cc_log,
         ),
+        extra_fn=lambda: {"cc_iterations": cc_log} if cc_log else None,
     )
     near = stage(
         "near_deduped",
@@ -226,6 +250,7 @@ def run_corpus_prep(
             fp_win_cap + "|giants",
             lambda: winnow_giant_fps(win_fps, winnow_max_bucket),
         )
+        win_cc_log: list[dict] = []
         win_comp = stage(
             "winnow_components",
             fp_win_cc,
@@ -234,7 +259,9 @@ def run_corpus_prep(
                 near_in_w.select(F.col(id_col).cast("long").alias("doc_id")).distinct(),
                 min_shared=winnow_min_shared,
                 max_bucket=winnow_max_bucket,
+                iteration_log=win_cc_log,
             ),
+            extra_fn=lambda: {"cc_iterations": win_cc_log} if win_cc_log else None,
         )
         near = stage(
             "winnow_deduped",

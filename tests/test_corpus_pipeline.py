@@ -128,6 +128,15 @@ def test_corpus_prep_lineage_and_giant_visibility(prep_out):
     assert os.path.exists(os.path.join(out, "lineage.json"))
     with open(os.path.join(out, "giant_buckets", "_manifest.json")) as f:
         assert json.load(f)["stage"] == "giant_buckets"
+    # per-CC-iteration walls (r6, r5 verdict #5): every large/small-star
+    # round is attributed in the manifest, and it survives on disk so a
+    # resumed run replays the original attribution
+    cc = by["near_components"]["cc_iterations"]
+    assert len(cc) >= 1
+    for it in cc:
+        assert set(it) == {"iter", "edges", "wall_sec"} and it["wall_sec"] >= 0
+    with open(os.path.join(out, "near_components", "_manifest.json")) as f:
+        assert json.load(f)["cc_iterations"] == cc
 
 
 def test_corpus_prep_span_removal_stage(spark, tmp_path):
