@@ -283,6 +283,7 @@ def near_dedup_corpus(
     text_col: str = "text",
     fast_hash: bool = False,
     warn_giants: bool = True,
+    iteration_log: list | None = None,
 ) -> DataFrame:
     """END-TO-END near-dup corpus dedup — the composition a 100 TB
     training-data pipeline actually runs: MinHash banding -> capped
@@ -323,7 +324,7 @@ def near_dedup_corpus(
             max_bucket,
         )
     all_docs = docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
-    return near_dedup_from_banded(banded, all_docs, max_bucket)
+    return near_dedup_from_banded(banded, all_docs, max_bucket, iteration_log=iteration_log)
 
 
 def near_dedup_from_banded(

@@ -577,12 +577,12 @@ FROM reach GROUP BY node
 def q_winnowing(spark, sf_dir):
     from neuroner_spark.operators.dedup import winnowing_fingerprints
 
-    # k=5/w=4 here, NOT the corpus_pipeline default k=16/w=4 (r5
+    # k=5/w=4 here, NOT the corpus_pipeline default k=25/w=4 (r5
     # verdict "what's wrong" #3): the sf0.01 fixture docs are short
-    # enough that k=16 leaves many below the k+w-1 minimum and the
+    # enough that a large k leaves many below the k+w-1 minimum and the
     # oracle would mostly exercise the short-doc fallback; small k
     # keeps the windowed-min selection itself under oracle check.
-    # The k=16 default is exercised by the pipeline tests and the
+    # The k=25 default is exercised by the pipeline tests and the
     # measured k-sweep (BENCH/BASELINE.md).
     return winnowing_fingerprints(_docs(spark, sf_dir), k=5, w=4)
 

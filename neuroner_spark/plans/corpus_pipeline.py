@@ -92,7 +92,7 @@ def run_corpus_prep(
     remove_dup_spans: bool = False,
     span_n_sents: int = 3,
     winnow: bool = False,
-    winnow_k: int = 16,
+    winnow_k: int = 25,
     winnow_w: int = 4,
     winnow_min_shared: int = 8,
     winnow_max_bucket: int | None = 1000,
@@ -208,15 +208,21 @@ def run_corpus_prep(
         # banded stage catches whole-document near-dups; winnowing
         # catches documents sharing long SUBSTRINGS (mirrors,
         # quotations, templated pages with different boilerplate).
-        # Defaults (k=16, min_shared=8): the k-sweep at 50k docs
-        # measured k=16/25 dominating k=8 on EVERY axis for dedup —
-        # recall on 10-clone clusters (45.2-45.5k of 45k merges vs
-        # 38.9k at k=8), hot-bucket noise (0-19 buckets vs 1,646),
-        # and wall (31-92 s vs 137 s): longer k-grams are rarer, so
-        # window minima stop skewing toward corpus-common grams
-        # (BENCH/BASELINE.md round-5 winnowing sections). min_shared
-        # still gates pair evidence; validate both per corpus before
-        # trusting the stage's drop counts.
+        # Defaults (k=25, min_shared=8): TWO measured sweeps.  The r5
+        # clone-cluster sweep at 50k docs had k=16/25 dominating k=8
+        # on recall/noise/wall (BENCH/BASELINE.md round-5 winnowing
+        # sections).  The r6 PLANTED-PARTIAL-OVERLAP sweep
+        # (scripts/winnow_recall.py -> BENCH/winnow_recall.json, the
+        # stage's actual job) separates 16 from 25: on a 2k-doc
+        # clone-free shared-vocab corpus at min_shared=8, false pairs
+        # are 1.74M (k=8) / 38k (k=16) / 52 (k=25) while recall stays
+        # 1.0 for every planted overlap >= 8 words (~50 chars) at all
+        # three k — common k-grams stop colliding only around k=25.
+        # Cost: overlaps shorter than ~2x t = k+w-1 = 28 chars lose
+        # pair evidence (recall@8 = 0 for ~25-char spans) — spans that
+        # short are not dedup-worthy.  min_shared still gates pair
+        # evidence; validate both per corpus before trusting the
+        # stage's drop counts.
         # Same scan discipline as banded (the fingerprint frame is the
         # shared scan; over-cap fingerprints surface as a lineage
         # stage) but over-cap fps are DROPPED, not star-edged — a hot

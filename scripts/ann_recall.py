@@ -18,6 +18,15 @@ trusting the probe-limiting knobs at scale.
    operator (``lsh_all_signatures``) — collected (bounded) and swept
    driver-side by masking tables.
 
+3. (r6, r5 verdict #7) The same IVF sweep on a CLUSTERED fixture —
+   the realistic corpus shape: 5,000 vectors in 50 Zipf-sized
+   Gaussian clusters (within-cluster cos ~0.9) + 10% uniform
+   background, seed 11.  The r5 curves measured the near-orthogonal
+   FLOOR case where every cell holds ~uniform neighbors; on clustered
+   data the true top-k co-locate with the query's cell, so the
+   nprobe knob should buy recall much faster.  Recorded beside the
+   floor curves as ``ivf_clustered``.
+
 Writes BENCH/ann_recall.json and prints the tables.
 
 Usage: python scripts/ann_recall.py [sf_dir]
@@ -94,20 +103,54 @@ def main() -> None:
               sorted(spark_rows, key=lambda r: r["rank"])]
     assert mine == theirs, f"driver-side IVF sweep diverges from ivf_topk:\n{mine}\n{theirs}"
 
+    def sweep_recall(X_, cos_, centroids_, cell_, rng_):
+        n_ = len(X_)
+        queries = rng_.choice(n_, size=N_QUERIES, replace=False)
+        rec = {}
+        for nprobe in [1, 2, 4, 8, 16]:
+            hits = 0
+            for qi in queries:
+                q = X_[qi]
+                exact = np.argsort(-np.where(np.arange(n_) == qi, -np.inf, cos_[qi]))[:K]
+                d = centroids_ - q[None, :]
+                probes = np.argsort((d * d).sum(axis=1))[:nprobe]
+                in_probe = np.isin(cell_, probes)
+                hits += sum(1 for j in exact if in_probe[j])
+            rec[nprobe] = round(hits / (K * len(queries)), 4)
+        return rec
+
     rng = np.random.default_rng(7)
-    queries = rng.choice(n, size=N_QUERIES, replace=False)
-    ivf_recall = {}
-    for nprobe in [1, 2, 4, 8, 16]:
-        hits = 0
-        for qi in queries:
-            q = X[qi]
-            exact = np.argsort(-np.where(np.arange(n) == qi, -np.inf, cos[qi]))[:K]
-            d = centroids - q[None, :]
-            probes = np.argsort((d * d).sum(axis=1))[:nprobe]
-            in_probe = np.isin(cell, probes)
-            hits += sum(1 for j in exact if in_probe[j])
-        ivf_recall[nprobe] = round(hits / (K * len(queries)), 4)
-    print("IVF recall@10 vs nprobe (16 cells):", ivf_recall)
+    ivf_recall = sweep_recall(X, cos, centroids, cell, rng)
+    print("IVF recall@10 vs nprobe (16 cells, floor corpus):", ivf_recall)
+
+    # ---------- 1b. IVF recall on a planted-cluster fixture ----------
+    rngc = np.random.default_rng(11)
+    N_CL, N_CLUSTERS, BG_FRAC, SIGMA = 5000, 50, 0.10, 0.35
+    centers_c = rngc.standard_normal((N_CLUSTERS, DIM))
+    centers_c /= np.linalg.norm(centers_c, axis=1, keepdims=True)
+    zipf_w = 1.0 / np.arange(1, N_CLUSTERS + 1)
+    zipf_w /= zipf_w.sum()
+    n_core = int(N_CL * (1 - BG_FRAC))
+    labels = rngc.choice(N_CLUSTERS, size=n_core, p=zipf_w)
+    core = centers_c[labels] + SIGMA / np.sqrt(DIM) * rngc.standard_normal((n_core, DIM))
+    bg = rngc.standard_normal((N_CL - n_core, DIM))
+    core_n = core / np.linalg.norm(core, axis=1, keepdims=True)
+    mean_intra = float(np.mean([core_n[i] @ centers_c[labels[i]] for i in range(500)]))
+    Xc = np.vstack([core, bg])
+    perm = rngc.permutation(N_CL)
+    Xc = Xc[perm]
+    emb_c = spark.createDataFrame(
+        [(int(i), Xc[i].tolist()) for i in range(N_CL)],
+        "vec_id long, embedding array<double>",
+    )
+    assigned_c, centroids_c = ivf_index(emb_c, k=N_CELLS, seed=42)
+    cell_c = np.zeros(N_CL, dtype=np.int64)
+    for r in assigned_c.select("vec_id", "cell").collect():
+        cell_c[int(r["vec_id"])] = r["cell"]
+    Xc_n = Xc / np.linalg.norm(Xc, axis=1, keepdims=True)
+    cos_c = Xc_n @ Xc_n.T
+    ivf_recall_clustered = sweep_recall(Xc, cos_c, centroids_c, cell_c, rngc)
+    print("IVF recall@10 vs nprobe (16 cells, clustered fixture):", ivf_recall_clustered)
 
     # ---------- 2. LSH pair recall vs n_tables ----------
     # plant seeded noisy clones so the near-dup regime is populated
@@ -164,15 +207,25 @@ def main() -> None:
 
     # sanity gates: recall must be monotone in the knob, and exhaustive
     # settings must be lossless (nprobe = n_cells -> exact top-k)
-    vals = [ivf_recall[p] for p in [1, 2, 4, 8, 16]]
-    assert vals == sorted(vals), f"IVF recall not monotone in nprobe: {vals}"
-    assert vals[-1] == 1.0, f"full probe must be exact, got {vals[-1]}"
+    for name, rec in [("floor", ivf_recall), ("clustered", ivf_recall_clustered)]:
+        vals = [rec[p] for p in [1, 2, 4, 8, 16]]
+        assert vals == sorted(vals), f"IVF {name} recall not monotone in nprobe: {vals}"
+        assert vals[-1] == 1.0, f"IVF {name} full probe must be exact, got {vals[-1]}"
     for lvl in NOISE_LEVELS:
         curve = [lsh_recall[t][lvl] for t in [1, 2, 4, 8]]
         assert curve == sorted(curve), f"LSH recall not monotone for {lvl}: {curve}"
     out = {
         "ivf": {"n_cells": N_CELLS, "k": K, "n_queries": N_QUERIES,
-                "recall_at_k_vs_nprobe": ivf_recall},
+                "recall_at_k_vs_nprobe": ivf_recall,
+                "note": "near-orthogonal sf corpus: the FLOOR case"},
+        "ivf_clustered": {
+            "n_cells": N_CELLS, "k": K, "n_queries": N_QUERIES,
+            "fixture": {"n_vectors": N_CL, "n_clusters": N_CLUSTERS,
+                        "zipf_sizes": True, "background_frac": BG_FRAC,
+                        "sigma": SIGMA, "seed": 11,
+                        "mean_core_cos_to_center": round(mean_intra, 4)},
+            "recall_at_k_vs_nprobe": ivf_recall_clustered,
+            "note": "planted Zipf Gaussian clusters: the realistic corpus shape"},
         "lsh": {"n_planes": N_PLANES, "n_tables_swept": [1, 2, 4, 8],
                 "planted_pair_mean_cos": {k: round(v, 4) for k, v in pair_cos.items()},
                 "recall_vs_n_tables": lsh_recall},

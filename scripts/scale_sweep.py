@@ -162,14 +162,33 @@ def sweep(factor: int, sf_dir: str, update: bool) -> int:
     return n_flags
 
 
-def flagship(factor: int, sf_dir: str) -> int:
+def flagship(factor: int, sf_dir: str, update: bool = False) -> int:
     """Deep-scale tier: the three flagship E2E compositions only, at
     ``factor``x documents (default 100 -> 500k docs from sf0.1).
-    Informational (recorded, not ratio-gated): asserts completion and
-    scale-invariant answers, records docs/sec."""
+
+    r6 (r5 verdict #2): no longer merely informational — each leg is
+    bracketed by its own load probes (same pure-python probe as
+    bench.py) and GATED on a committed load-corrected docs/sec floor in
+    scale_expectations.json, like the 10x sweep's ratio gates.  Each
+    leg also records per-stage walls (corpus-prep lineage incl. per-CC-
+    iteration rounds; cumulative action walls for the others) so a
+    56->150 s swing like r5's kg leg is attributable from the artifact
+    alone: load factor up = the box, stage wall up at flat load = the
+    plan.  ``--update`` re-commits the floors at 0.5x the measured
+    load-corrected throughput (headroom for honest noise, tight enough
+    to catch a 2x plan regression)."""
     from pyspark.sql import functions as F
 
     spark = _session("flagship_sweep")
+    idle_floor = float(os.environ.get("SPARK_GRAFT_PROBE_IDLE_FLOOR", "0.10"))
+
+    def probe_once() -> float:
+        t0 = time.perf_counter()
+        x = 0
+        for i in range(2_000_000):
+            x += i * i % 7
+        return round(time.perf_counter() - t0, 3)
+
     xdir = tempfile.mkdtemp(prefix=f"flagship_x{factor}_")
     _replicate(spark, sf_dir, factor, xdir, tables={"documents"})
     docs = spark.read.parquet(f"{xdir}/documents.parquet")
@@ -177,27 +196,38 @@ def flagship(factor: int, sf_dir: str) -> int:
     results = {}
 
     def run(name, fn):
+        p0 = probe_once()
         t0 = time.time()
-        n = fn()
+        n, stages = fn()
         dt = time.time() - t0
+        p1 = probe_once()
+        lf = round(((p0 + p1) / 2) / idle_floor, 2)
+        dps = round(n_docs / dt, 1)
         results[name] = {
             "sec": round(dt, 1), "rows": n,
-            "docs_per_sec": round(n_docs / dt, 1),
+            "docs_per_sec": dps,
+            "probe_sec": [p0, p1],
+            "load_factor": lf,
+            # the normalization rule the r5 adjudication used
+            # (wall / load_factor): what the leg would do on an idle box
+            "docs_per_sec_load_corrected": round(dps * max(lf, 1.0), 1),
+            "stage_walls": stages,
         }
-        print(f"{name}: {dt:.1f}s, {n} rows, {n_docs / dt:.0f} docs/sec")
+        print(f"{name}: {dt:.1f}s, {n} rows, {dps:.0f} docs/sec, load {lf}")
         sys.stdout.flush()
 
     def near_dedup():
         from neuroner_spark.operators.dedup import near_dedup_corpus
 
-        out = near_dedup_corpus(docs, n=3, bands=4, max_bucket=1000)
+        cc_log: list = []
+        out = near_dedup_corpus(docs, n=3, bands=4, max_bucket=1000, iteration_log=cc_log)
         kept = out.filter("keep").count()
         # replicate-invariance: clone clusters must fully collapse —
         # the kept count may not scale with the replication factor
         assert kept < n_docs / max(factor / 2, 1), (
             f"near-dup failed to collapse clones: {kept} kept of {n_docs}"
         )
-        return kept
+        return kept, {"cc_iterations": cc_log}
 
     def kg_gazetteer():
         from neuroner_spark.functions.tokenize import tokenize
@@ -206,6 +236,8 @@ def flagship(factor: int, sf_dir: str) -> int:
         from neuroner_spark.plans.catalog_kg import _aliases
         from neuroner_spark.plans.kg_pipeline import canonical_map, triples_from_linked
 
+        stages = {}
+        t = time.time()
         aliases = _aliases(spark)
         d = docs.select(
             F.col("doc_id").cast("string").alias("url"),
@@ -215,8 +247,21 @@ def flagship(factor: int, sf_dir: str) -> int:
         tokens = tokenize(d.withColumnRenamed("url", "doc_id"))
         mentions = match_mentions(tokens, aliases)
         linked = link_mentions(mentions, aliases, use_fuzzy=False)
-        triples = triples_from_linked(linked, canonical_map(aliases), d)
-        return triples.count()
+        canon = canonical_map(aliases)  # eager: alias-graph CC driver loop
+        triples = triples_from_linked(linked, canon, d)
+        stages["construct_and_canonical_map"] = round(time.time() - t, 1)
+        # CUMULATIVE prefix walls (each count recomputes its upstream —
+        # lineage is unmaterialized by design here): wall_mentions
+        # includes the tokenize work, wall_triples the whole leg.  The
+        # deltas attribute a swing to a stage; the recompute overhead is
+        # the price of leaving the hot path unmaterialized.
+        t = time.time()
+        mentions.count()
+        stages["cum_mentions"] = round(time.time() - t, 1)
+        t = time.time()
+        n = triples.count()
+        stages["triples_after_mentions_warm"] = round(time.time() - t, 1)
+        return n, stages
 
     def corpus_prep():
         from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
@@ -224,7 +269,15 @@ def flagship(factor: int, sf_dir: str) -> int:
         wdir = tempfile.mkdtemp(prefix="flagship_corpus_")
         try:
             res = run_corpus_prep(spark, docs, wdir)
-            return res["corpus"].count()
+            n = res["corpus"].count()
+            # the materialized pipeline records real per-stage walls
+            stages = {
+                m["stage"]: {
+                    k: m[k] for k in ("wall_s", "n_rows", "cc_iterations") if k in m
+                }
+                for m in res["lineage"]
+            }
+            return n, stages
         finally:
             shutil.rmtree(wdir, ignore_errors=True)
 
@@ -232,11 +285,39 @@ def flagship(factor: int, sf_dir: str) -> int:
     run("kg_gazetteer", kg_gazetteer)
     run("corpus_prep_materialized", corpus_prep)
     shutil.rmtree(xdir, ignore_errors=True)
+
+    with open(EXPECTATIONS) as f:
+        exp = json.load(f)
+    floors = exp.get("flagship_min_docs_per_sec_load_corrected", {})
+    if update:
+        exp["flagship_min_docs_per_sec_load_corrected"] = {
+            name: round(r["docs_per_sec_load_corrected"] * 0.5, 1)
+            for name, r in results.items()
+        }
+        with open(EXPECTATIONS, "w") as f:
+            json.dump(exp, f, indent=1)
+        print("flagship floors re-committed")
+        floors = exp["flagship_min_docs_per_sec_load_corrected"]
+    failures = [
+        f"{name}: load-corrected {r['docs_per_sec_load_corrected']} docs/sec "
+        f"< committed floor {floors[name]}"
+        for name, r in results.items()
+        if name in floors and r["docs_per_sec_load_corrected"] < floors[name]
+    ]
     out = os.path.join(REPO, "BENCH", f"flagship_x{factor}.json")
-    json.dump({"factor": factor, "n_docs": n_docs, "results": results},
-              open(out, "w"), indent=1)
+    json.dump(
+        {
+            "factor": factor, "n_docs": n_docs,
+            "probe_idle_floor_sec": idle_floor,
+            "gate_floors": floors, "gate_failures": failures,
+            "results": results,
+        },
+        open(out, "w"), indent=1,
+    )
     print(f"artifact: {out}")
-    return 0
+    for msg in failures:
+        print("GATE FAIL", msg)
+    return 1 if failures else 0
 
 
 def main() -> None:
@@ -247,7 +328,7 @@ def main() -> None:
     if deep:
         factor = int(args[0]) if args else 100
         sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
-        sys.exit(flagship(factor, sf_dir))
+        sys.exit(flagship(factor, sf_dir, update))
     factor = int(args[0]) if args else 10
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.1"
     sys.exit(1 if sweep(factor, sf_dir, update) else 0)
