@@ -61,6 +61,15 @@ SCRIPT_RANGES = {
     "thai": "฀-๿",                 # Thai block
     "hangul": "가-힯ᄀ-ᇿ",  # syllables + jamo
     "han": "一-鿿㐀-䶿",     # CJK Unified + Ext A
+    # alphabetic scripts whose stopwords are not in STOPWORDS: routing
+    # by script is coarser than a stopword model (ar stands for every
+    # Arabic-script language incl. fa/ur; hi for every Devanagari
+    # language incl. mr/ne — documented residual of the contract) but
+    # strictly better than the latin-stopword misroute they got before
+    "greek": "Ͱ-Ͽ",
+    "arabic": "؀-ۿݐ-ݿ",      # Arabic + Supplement
+    "hebrew": "֐-׿",
+    "devanagari": "ऀ-ॿ",
 }
 
 # Routing order MATTERS and is part of the contract: kana first (Japanese
@@ -74,6 +83,10 @@ SCRIPT_ROUTES = [
     ("thai", "th", 0.30),
     ("hangul", "ko", 0.30),
     ("han", "zh", 0.30),
+    ("greek", "el", 0.30),
+    ("arabic", "ar", 0.30),
+    ("hebrew", "he", 0.30),
+    ("devanagari", "hi", 0.30),
 ]
 
 

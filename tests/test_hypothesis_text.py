@@ -278,6 +278,12 @@ def test_lang_guess_unsegmented_scripts(spark):
         ("ja", "東京大学の研究所は新技術を開発した点が高く評価されています"),
         # an English page with a couple of CJK chars stays en
         ("en", "the word 東京 means tokyo and it is the capital of japan for now"),
+        # r6 widening: alphabetic scripts without stopword rows route
+        # by script too (el/ar/he/hi)
+        ("el", "σήμερα ο καιρός είναι πολύ καλός και πάμε στο πάρκο για βόλτα"),
+        ("ar", "الطقس جميل اليوم لنذهب إلى الحديقة للتنزه مع الأصدقاء"),
+        ("he", "מזג האוויר יפה היום בואו נלך לפארק לטייל עם חברים"),
+        ("hi", "आज मौसम बहुत अच्छा है चलो पार्क में घूमने चलते हैं"),
     ]
     df = spark.createDataFrame(
         [(l, t) for l, t in samples], "lang string, text string"
@@ -303,6 +309,8 @@ def test_lang_id_oracle_parity_on_scripts(spark, tmp_path):
         ("ja", "東京大学の研究所は新技術を開発した点が評価されています"),
         ("th", "วันนี้อากาศดีมากเราไปเดินเล่นที่สวนสาธารณะกันเถอะ"),
         ("ko", "오늘은 날씨가 좋아서 공원에 산책하러 갑니다"),
+        ("ar", "الطقس جميل اليوم لنذهب إلى الحديقة للتنزه"),
+        ("el", "σήμερα ο καιρός είναι πολύ καλός και πάμε στο πάρκο"),
         ("en", "the cat sat on the mat and it is happy that for now"),
         ("de", "der hund ist nicht mit der katze und das ist ein problem"),
         ("en", "the word 東京 means tokyo and it is the capital of japan"),
