@@ -270,9 +270,16 @@ def flagship(factor: int, sf_dir: str, update: bool = False) -> int:
         tokens = tokenize(d.withColumnRenamed("url", "doc_id"))
         mentions = match_mentions(tokens, aliases)
         linked = link_mentions(mentions, aliases, use_fuzzy=False)
-        canon = canonical_map(aliases)  # eager: alias-graph CC driver loop
-        triples = triples_from_linked(linked, canon, d)
+        canon = canonical_map(aliases)
         stages["construct_and_canonical_map"] = round(time.time() - t, 1)
+        # triples_from_linked localCheckpoints the linked-mention frame
+        # (it branches 4x below) — this wall IS the tokenize -> match ->
+        # link materialization, the heaviest stage of the leg.  r6
+        # profiling: construction + canonical_map are < 4 s at 500k
+        # docs; the r5 56->150 s "kg leg swing" lived here.
+        t = time.time()
+        triples = triples_from_linked(linked, canon, d)
+        stages["materialize_mentions_localCheckpoint"] = round(time.time() - t, 1)
         # CUMULATIVE prefix walls (each count recomputes its upstream —
         # lineage is unmaterialized by design here): wall_mentions
         # includes the tokenize work, wall_triples the whole leg.  The
