@@ -272,6 +272,15 @@ def main() -> None:
         m = re.search(r"= (\d+\.\d+)\*\*", open(md).read())
         if m:
             out["scaling_efficiency"] = float(m.group(1))
+    # corpus-prep two-size efficiency (scripts/corpus_scaling.py at 5M
+    # docs) — read from its JSON artifact, not a regex over prose
+    cs = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH", "corpus_scaling.json")
+    if os.path.exists(cs):
+        with open(cs) as f:
+            csd = json.load(f)
+        for key in ("efficiency_2_to_8_median", "efficiency_2_to_8_best_pair"):
+            if key in csd:
+                out[f"corpus_{key}"] = csd[key]
     print(json.dumps(out))
 
 
