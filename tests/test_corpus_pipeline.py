@@ -194,6 +194,28 @@ def test_corpus_prep_lang_gate(spark, tmp_path):
     assert kept == [0, 1]
 
 
+def test_corpus_prep_lang_gate_drops_cjk(spark, tmp_path):
+    """r6 (r5 verdict Missing #1): before script routing, unsegmented
+    pages scored ~0 on every stopword list and misrouted to 'en' (the
+    zero-score tie-break) — a keep_lang='en' gate LEAKED them into the
+    corpus.  With script-ratio routing they are detected and dropped."""
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    rows = [
+        (0, CLEAN[0]),
+        (1, CLEAN[1]),
+        (2, "今天天气很好我们去公园散步吧这里的风景非常美丽大家都很开心"),
+        (3, "วันนี้อากาศดีมากเราไปเดินเล่นที่สวนสาธารณะกันเถอะ"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out_dir = str(tmp_path / "prep")
+    res = run_corpus_prep(spark, docs, out_dir, keep_lang="en", max_bucket=100)
+    by = {m["stage"]: m for m in res["lineage"]}
+    assert by["lang_gate"]["n_rows"] == 2
+    kept = sorted(r["doc_id"] for r in res["corpus"].collect())
+    assert kept == [0, 1]
+
+
 def test_corpus_prep_resume_and_invalidation(spark, prep_out):
     from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
 
