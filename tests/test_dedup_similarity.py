@@ -578,3 +578,146 @@ def test_winnow_components_drops_hot_fps(spark):
     for i in range(10):
         assert merged[i]["component"] == 0 and merged[i]["keep"] == (i == 0)
     assert merged[100]["keep"] and merged[101]["keep"]
+
+
+def test_simhash_pairs_match_bruteforce(spark):
+    """Manku et al. pigeonhole pairing: within the bucket cap the
+    operator's (a, b, hamming) set must EQUAL the brute-force
+    all-pairs set at distance <= d — recall 1.0 by construction,
+    exact hamming values, including the signed bit-63 path."""
+    from neuroner_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"tok{i}" for i in range(500)]
+    rows, doc_id = [], 0
+    for c in range(5):
+        words = list(rng.choice(vocab, 100))
+        rows.append((doc_id, " ".join(words)))
+        doc_id += 1
+        if c == 0:
+            rows.append((doc_id, " ".join(words)))  # exact clone: hamming 0
+        else:
+            w2 = list(words)
+            w2[int(rng.integers(0, 100))] = str(rng.choice(vocab))
+            rows.append((doc_id, " ".join(w2)))  # 1-token swap: small hamming
+        doc_id += 1
+    for _ in range(10):
+        rows.append((doc_id, " ".join(rng.choice(vocab, 100))))
+        doc_id += 1
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = 4
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(corpus, bits=64).collect()}
+    mask = (1 << 64) - 1
+    expected = set()
+    ids = sorted(sh)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sh[a] ^ sh[b]) & mask).count("1")
+            if h <= d:
+                expected.add((a, b, h))
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_pairs(corpus, bits=64, max_hamming=d).collect()
+    }
+    assert got == expected
+    # the exact clone is in there at distance 0
+    assert (0, 1, 0) in got
+
+
+def test_simhash_pairs_hot_block_cap(spark):
+    """A boilerplate pile above max_bucket never pairs (quadratic
+    guard); it surfaces whole in the giant-block side output, while an
+    under-cap cluster still pairs through the same blocked frame."""
+    from neuroner_spark.operators.dedup import (
+        capped_buckets,
+        simhash_blocked,
+        simhash_pairs_from_blocked,
+    )
+
+    small = "an unrelated trio document about streaming state and watermarks"
+    rows = [(i, BASE) for i in range(20)] + [(100 + i, small) for i in range(3)]
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    blocked = simhash_blocked(corpus, bits=64, max_hamming=3)
+    pairs = {
+        (r["a"], r["b"]) for r in simhash_pairs_from_blocked(blocked, 3, max_bucket=5).collect()
+    }
+    assert pairs == {(100, 101), (100, 102), (101, 102)}
+    giants = capped_buckets(blocked, ["block_id", "block_val"], 5)[1].collect()
+    # the 20-clone pile: all 4 pigeonhole blocks over cap, keep = min id
+    assert len(giants) == 4
+    assert all(g["n_docs"] == 20 and g["keep_id"] == 0 for g in giants)
+
+
+def test_simhash_pairs_general_blocks_match_bruteforce(spark):
+    """Manku's general operating point (n_blocks=8, d=3 -> C(8,3)=56
+    tables, 40-bit keys): same brute-force equality as the default
+    d+1-block case — hash-key collisions only ADD candidates and the
+    exact verify removes them, so the scheme is exact at ANY block
+    count."""
+    from neuroner_spark.operators.dedup import simhash, simhash_pairs
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(400)]
+    rows, doc_id = [], 0
+    for c in range(4):
+        words = list(rng.choice(vocab, 120))
+        rows.append((doc_id, " ".join(words)))
+        doc_id += 1
+        w2 = list(words)
+        w2[int(rng.integers(0, 120))] = str(rng.choice(vocab))
+        rows.append((doc_id, " ".join(w2)))
+        doc_id += 1
+    for _ in range(8):
+        rows.append((doc_id, " ".join(rng.choice(vocab, 120))))
+        doc_id += 1
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+
+    d = 3
+    sh = {r["doc_id"]: r["simhash"] for r in simhash(corpus, bits=64).collect()}
+    mask = (1 << 64) - 1
+    ids = sorted(sh)
+    expected = {
+        (a, b, bin((sh[a] ^ sh[b]) & mask).count("1"))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((sh[a] ^ sh[b]) & mask).count("1") <= d
+    }
+    got = {
+        (r["a"], r["b"], r["hamming"])
+        for r in simhash_pairs(corpus, bits=64, max_hamming=d, n_blocks=8).collect()
+    }
+    assert got == expected
+    # table-count guard: C(12, 3) = 220 > 64 must refuse
+    import pytest as _pytest
+
+    from neuroner_spark.operators.dedup import simhash_blocked
+
+    with _pytest.raises(ValueError):
+        simhash_blocked(corpus, bits=64, max_hamming=3, n_blocks=12)
+
+
+def test_simhash_near_dedup_end_to_end(spark):
+    """Full composition: a boilerplate pile over the cap collapses to
+    one keep via giant-block star edges, a small near-dup cluster
+    collapses via verified pairs, singletons (including an empty doc
+    missing from the blocked frame) survive."""
+    from neuroner_spark.operators.dedup import simhash_near_dedup
+
+    rows = (
+        [(i, BASE) for i in range(12)]
+        + [(100, "shared niche sentence about iceberg manifests and snapshots"),
+           (101, "shared niche sentence about iceberg manifests and snapshots"),
+           (200, "a one-off survivor document describing watermark semantics in detail"),
+           (300, "")]
+    )
+    corpus = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in simhash_near_dedup(corpus, max_bucket=5).collect()}
+    assert len(out) == 16
+    # the 12-clone pile: one keep (min id), all in one component
+    assert all(out[i]["component"] == 0 for i in range(12))
+    assert [out[i]["keep"] for i in range(12)] == [True] + [False] * 11
+    # the pair-path cluster
+    assert out[100]["keep"] and not out[101]["keep"] and out[101]["component"] == 100
+    # singletons and the empty doc survive
+    assert out[200]["keep"] and out[300]["keep"]

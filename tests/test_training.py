@@ -388,6 +388,12 @@ def test_training_run_output_tree(spark, tmp_path):
     assert set(losses) == {0, 1}
     for h in results["history"]:
         assert losses[h["epoch"]] == pytest.approx(h["loss"], rel=1e-6)
+    # K3 plot half: both utils_plots-parity SVG heatmaps exist and parse
+    import xml.etree.ElementTree as ET
+
+    for name in ("classification_report_valid.svg", "confusion_matrix_valid.svg"):
+        with open(os.path.join(out, "plots", name)) as f:
+            ET.fromstring(f.read())
 
 
 def test_sparse_embedding_gradient_rows(spark):
