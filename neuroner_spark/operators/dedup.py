@@ -476,6 +476,17 @@ def simhash_blocked(
     once, derive pairs AND the giant-block side output from it.
     Output: (doc_id, simhash, block_id, block_val) — block_id numbers
     the table (block subset), block_val is the table key."""
+    sig = simhash(docs, bits, id_col, text_col, fast_hash)
+    return blocked_from_signatures(sig, bits, max_hamming, n_blocks)
+
+
+def blocked_from_signatures(
+    sig: DataFrame, bits: int = 64, max_hamming: int = 3, n_blocks: int | None = None
+) -> DataFrame:
+    """The table-key half of ``simhash_blocked``, over a precomputed
+    (doc_id, simhash) frame — the entry point when signatures are
+    already materialized (``simhash_near_dedup`` checkpoints them
+    once and derives everything downstream)."""
     import itertools
     import math
 
@@ -489,7 +500,6 @@ def simhash_blocked(
             f"C({b},{d}) = {n_tables} tables — pick a smaller n_blocks "
             "(each doc ships one row per table)"
         )
-    sig = simhash(docs, bits, id_col, text_col, fast_hash)
     base, rem = divmod(bits, b)
     block_vals, lo = [], 0
     for i in range(b):
@@ -570,31 +580,55 @@ def simhash_near_dedup(
     fast_hash: bool = False,
     max_bucket: int | None = 1000,
     iteration_log: list | None = None,
+    signatures: DataFrame | None = None,
 ) -> DataFrame:
-    """End-to-end SimHash near-dedup, same composition as
-    ``near_dedup_corpus``'s minhash path: ONE blocked scan -> verified
-    pairs (capped hot blocks) UNION giant-block star edges (an
-    over-cap block is a boilerplate pile — O(members) edges to the
-    block minimum, never O(members^2) pairs) -> connected components
-    -> keep = (component == doc_id).  Docs absent from the blocked
-    frame (empty text) come back keep=true, never silently dropped.
+    """End-to-end SimHash near-dedup: Manku §4's dedup-then-pair
+    discipline composed with this module's components+keep-one shape.
+
+      1. signatures, materialized ONCE (localCheckpoint — the frame
+         branches 3x below); pass ``signatures`` (a precomputed,
+         already-materialized (doc_id, simhash) frame) when the
+         caller also needs the signatures, so the wide bit-sum
+         aggregate runs exactly once
+      2. exact-signature piles -> star edges to the pile min: hamming
+         0 is EXACT evidence, safe to merge unverified, O(members) —
+         this is where web boilerplate clones collapse
+      3. ONE representative per distinct signature enters the blocked
+         pairing; verified (bit_count <= d) pairs connect piles
+      4. over-cap block values among the representatives are DROPPED
+         from pairing, never star-edged: a block value shared by
+         > max_bucket DISTINCT signatures witnesses key-space
+         saturation (birthday collisions at |signatures| approaching
+         2^key_width), not duplication — the r6 500k-doc measurement
+         caught unverified giant-block star edges chaining 5,000
+         distinct base docs into 184 components before this rule;
+         same lesson as winnowing's hot-fingerprint drop (r5).  The
+         durable fix at scale is widening keys via ``n_blocks``.
+      5. connected components over pile + pair edges; keep =
+         (component == doc_id).  Docs with no tokens (empty text)
+         never reach the signature groupBy and come back keep=true —
+         no silent drops.
+
     Output: (doc_id, component, keep)."""
     from neuroner_spark.operators.components import connected_components
 
-    blocked = simhash_blocked(docs, bits, max_hamming, n_blocks, id_col, text_col, fast_hash)
+    sig = (
+        signatures
+        if signatures is not None
+        else simhash(docs, bits, id_col, text_col, fast_hash).localCheckpoint()
+    )
+    piles = sig.groupBy("simhash").agg(F.min("doc_id").alias("rep_id"))
+    pile_edges = (
+        sig.join(piles, "simhash")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(F.col("doc_id").alias("src"), F.col("rep_id").alias("dst"))
+    )
+    reps = piles.select(F.col("rep_id").alias("doc_id"), "simhash")
+    blocked = blocked_from_signatures(reps, bits, max_hamming, n_blocks)
     pairs = simhash_pairs_from_blocked(blocked, max_hamming, max_bucket).select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     )
-    _, giants = capped_buckets(blocked, ["block_id", "block_val"], max_bucket)
-    giant_edges = (
-        blocked.join(
-            giants.select("block_id", "block_val", "keep_id"), ["block_id", "block_val"]
-        )
-        .filter(F.col("doc_id") != F.col("keep_id"))
-        .select(F.col("doc_id").alias("src"), F.col("keep_id").alias("dst"))
-        .distinct()
-    )
-    comp = connected_components(pairs.union(giant_edges), iteration_log=iteration_log)
+    comp = connected_components(pairs.union(pile_edges), iteration_log=iteration_log)
     comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
     all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
     return all_docs.join(
@@ -604,6 +638,28 @@ def simhash_near_dedup(
         comp_or_self.alias("component"),
         (comp_or_self == F.col("doc_id")).alias("keep"),
     )
+
+
+def simhash_giant_blocks(
+    signatures: DataFrame,
+    bits: int = 64,
+    max_hamming: int = 3,
+    n_blocks: int | None = None,
+    max_bucket: int | None = 1000,
+) -> DataFrame:
+    """Over-cap pigeonhole block values among the DISTINCT-signature
+    representatives — the no-silent-caps audit side output for the
+    block values ``simhash_near_dedup`` drops from pairing (key-space
+    saturation, see its docstring step 4).  Takes the same
+    pre-materialized (doc_id, simhash) frame the dedup consumes, so a
+    pipeline derives dedup AND audit from one scan.
+    Output: (block_id, block_val, n_docs, keep_id)."""
+    piles = signatures.groupBy("simhash").agg(F.min("doc_id").alias("doc_id"))
+    blocked = blocked_from_signatures(
+        piles.select("doc_id", "simhash"), bits, max_hamming, n_blocks
+    )
+    _, giants = capped_buckets(blocked, ["block_id", "block_val"], max_bucket)
+    return giants
 
 
 def winnowing_fingerprints(

@@ -374,24 +374,60 @@ FROM sh GROUP BY doc_id
 """
 
 
-# --- SimHash (16-bit) per doc
+# --- SimHash near-dedup, end to end (r6: upgraded from
+# signatures-only).  Spark runs the production composition —
+# exact-signature piles -> pigeonhole-blocked verified pairs over
+# representatives -> connected components -> keep-one
+# (`simhash_near_dedup`, Manku et al. WWW'07) — while the oracle
+# takes the SHORT road the operator exists to avoid: brute-force
+# all-pairs bit_count(xor) <= d over the same md5-derived signatures,
+# then recursive-CTE min-label components.  Equality holds because
+# within the bucket cap the pigeonhole construction has recall 1.0
+# and piles only pre-merge hamming-0 pairs the brute force also sees.
+# bits=32/d=1 keeps the oracle's 125k-pair self-join trivial at
+# sf0.01 and gives the fixture corpus meaningful-but-unchained
+# structure (434 keeps, max cluster 13; d=2 chains a 154-doc
+# component, bits=16 collapses 487 docs — measured before choosing).
 def q_simhash(spark, sf_dir):
-    return simhash(_docs(spark, sf_dir), bits=16)
+    from neuroner_spark.operators.dedup import simhash_near_dedup
+
+    docs = _docs(spark, sf_dir)
+    sig = simhash(docs, bits=32).localCheckpoint()
+    nd = simhash_near_dedup(docs, bits=32, max_hamming=1, signatures=sig)
+    return sig.join(nd, "doc_id").select("doc_id", "simhash", "component", "keep")
 
 
 SQL_SIMHASH = """
-WITH th AS (
+WITH RECURSIVE th AS (
   SELECT doc_id,
          CAST(('0x' || substring(md5(token), 1, 15)) AS BIGINT) AS th
   FROM (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS token FROM documents)
 ), bits AS (
   SELECT doc_id, bit, sum(((th >> bit) & 1) * 2 - 1) AS s
-  FROM th, (SELECT unnest(range(0, 16)) AS bit)
+  FROM th, (SELECT unnest(range(0, 32)) AS bit)
   GROUP BY doc_id, bit
+), sig AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bits GROUP BY doc_id
+), pair_edges AS (
+  SELECT x.doc_id AS src, y.doc_id AS dst
+  FROM sig x JOIN sig y ON x.doc_id < y.doc_id
+  WHERE bit_count(xor(x.simhash, y.simhash)) <= 1
+), sym AS (
+  SELECT src AS a, dst AS b FROM pair_edges
+  UNION
+  SELECT dst, src FROM pair_edges
+), reach AS (
+  SELECT doc_id AS node, doc_id AS lab FROM documents
+  UNION
+  SELECT s.b, r.lab FROM reach r JOIN sym s ON s.a = r.node WHERE r.lab < s.b
+), comp AS (
+  SELECT node AS doc_id, min(lab) AS component, (min(lab) = node) AS keep
+  FROM reach GROUP BY node
 )
-SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
-FROM bits GROUP BY doc_id
+SELECT g.doc_id, g.simhash, c.component, c.keep
+FROM sig g JOIN comp c ON c.doc_id = g.doc_id
 """
 
 

@@ -23,6 +23,13 @@ Stage graph (all DataFrame -> DataFrame; Iceberg commits in prod):
     -> giant_buckets     over-cap buckets (audit side output)
     -> near_components   capped pairs + giant star edges -> connected
                          components -> (doc_id, component, keep)
+       [near_method='simhash' swaps the three stages above for
+        simhash_sigs (the shared scan: one 64-bit signature per doc)
+        -> simhash_giant_blocks (over-cap block values, DROPPED from
+        pairing — partial-key evidence can't star-edge, r6 finding)
+        -> near_components via exact-signature piles + Manku
+        pigeonhole-verified pairs (operators/dedup.py ::
+        simhash_near_dedup).  Same output contract either way.]
     -> near_deduped      keep=true docs
     -> winnow_fps        winnowing fingerprints (optional, winnow=True;
                          the partial-overlap shared scan — mirrors/
@@ -85,6 +92,10 @@ def run_corpus_prep(
     n: int = 3,
     bands: int = 4,
     max_bucket: int | None = 1000,
+    near_method: str = "minhash",
+    simhash_bits: int = 64,
+    simhash_max_hamming: int = 3,
+    simhash_n_blocks: int | None = None,
     contamination_n: int = 8,
     contamination_threshold: float = 0.05,
     min_quality: float = 0.5,
@@ -114,6 +125,15 @@ def run_corpus_prep(
     ``id_col`` must be numeric (castable to long) — connected
     components propagates MIN ids.  For url-keyed crawl tables, derive
     the id first (``xxhash64(url)``) and keep the url alongside.
+
+    ``near_method``: 'minhash' (default — set-similarity banding,
+    giant buckets star-edge safely because a band match is whole-doc
+    evidence) or 'simhash' (Manku Hamming-distance piles + pigeonhole
+    pairs — cheaper scan, one 64-bit signature per doc instead of a
+    shingle explosion, but ``max_bucket`` must exceed the expected
+    near-dup cluster size because over-cap block values DROP from
+    pairing; see ``simhash_near_dedup``).  Same (doc_id, component,
+    keep) contract and the same downstream stages either way.
 
     ``broadcast_gates``: hint-broadcast the id-set side of every gate
     semi join (keep-ids, quality-ok ids, decontaminated ids).  Without
@@ -168,31 +188,72 @@ def run_corpus_prep(
             fp_base,
             lambda: exact_in.filter(lang_guess(F.col(text_col)) == keep_lang),
         )
-    fp_band = fp_base + f"|band:n={n}:b={bands}:fast={fast_hash}"
-    banded = stage(
-        "banded", fp_band, lambda: minhash_banded(exact, n, bands, id_col, text_col, fast_hash)
-    )
-    fp_cap = fp_band + f"|cap={max_bucket}"
-    giants = stage(
-        "giant_buckets", fp_cap, lambda: giant_buckets_from_banded(banded, max_bucket)
-    )
     # per-CC-iteration lineage (r5 verdict #5): the 5M-doc
     # near_components stage wall swung 1.2-4x across runs; logging each
     # large-star/small-star round's edge count + wall into the manifest
     # attributes the variance (rounds vs the final join = stage wall
     # minus the rounds) instead of bounding it by rerun.
     cc_log: list[dict] = []
-    components = stage(
-        "near_components",
-        fp_cap + "|cc",
-        lambda: near_dedup_from_banded(
-            banded,
-            exact.select(F.col(id_col).cast("long").alias("doc_id")).distinct(),
-            max_bucket,
-            iteration_log=cc_log,
-        ),
-        extra_fn=lambda: {"cc_iterations": cc_log} if cc_log else None,
-    )
+    if near_method == "simhash":
+        from neuroner_spark.operators.dedup import (
+            simhash,
+            simhash_giant_blocks,
+            simhash_near_dedup,
+        )
+
+        fp_sig = fp_base + f"|simsig:bits={simhash_bits}:fast={fast_hash}"
+        sigs = stage(
+            "simhash_sigs",
+            fp_sig,
+            lambda: simhash(exact, simhash_bits, id_col, text_col, fast_hash)
+            .withColumn("doc_id", F.col("doc_id").cast("long")),
+        )
+        fp_cap = fp_sig + (
+            f"|d={simhash_max_hamming}:blocks={simhash_n_blocks}:cap={max_bucket}"
+        )
+        giants = stage(
+            "giant_buckets",
+            fp_cap + "|giants",
+            lambda: simhash_giant_blocks(
+                sigs, simhash_bits, simhash_max_hamming, simhash_n_blocks, max_bucket
+            ),
+        )
+        components = stage(
+            "near_components",
+            fp_cap + "|cc",
+            lambda: simhash_near_dedup(
+                exact.select(F.col(id_col).cast("long").alias("doc_id")).distinct(),
+                bits=simhash_bits,
+                max_hamming=simhash_max_hamming,
+                n_blocks=simhash_n_blocks,
+                max_bucket=max_bucket,
+                iteration_log=cc_log,
+                signatures=sigs,
+            ),
+            extra_fn=lambda: {"cc_iterations": cc_log} if cc_log else None,
+        )
+    elif near_method == "minhash":
+        fp_band = fp_base + f"|band:n={n}:b={bands}:fast={fast_hash}"
+        banded = stage(
+            "banded", fp_band, lambda: minhash_banded(exact, n, bands, id_col, text_col, fast_hash)
+        )
+        fp_cap = fp_band + f"|cap={max_bucket}"
+        giants = stage(
+            "giant_buckets", fp_cap, lambda: giant_buckets_from_banded(banded, max_bucket)
+        )
+        components = stage(
+            "near_components",
+            fp_cap + "|cc",
+            lambda: near_dedup_from_banded(
+                banded,
+                exact.select(F.col(id_col).cast("long").alias("doc_id")).distinct(),
+                max_bucket,
+                iteration_log=cc_log,
+            ),
+            extra_fn=lambda: {"cc_iterations": cc_log} if cc_log else None,
+        )
+    else:
+        raise ValueError(f"near_method must be 'minhash' or 'simhash', got {near_method!r}")
     near = stage(
         "near_deduped",
         fp_cap + "|kept",

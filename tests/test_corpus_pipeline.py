@@ -289,3 +289,75 @@ def test_corpus_prep_winnow_stage(spark, tmp_path):
     assert by3["banded"].get("resumed") and by3["winnow_fps"].get("resumed")
     assert not by3["winnow_components"].get("resumed")
     assert not by3["corpus"].get("resumed")
+
+
+def test_corpus_prep_simhash_method(spark, tmp_path):
+    """near_method='simhash' (r6): same stage contract as minhash but
+    the shared scan is one 64-bit signature per doc.  Covers the three
+    simhash-specific paths — exact-signature PILES (simhash is a bag
+    of tokens, so a token-REORDERED doc piles at hamming 0 even though
+    exact dedup's text fingerprint missed it), verified pigeonhole
+    pairs (suffix-perturbed cluster), and the giant_blocks audit
+    (max_bucket=3 puts the 6-doc cluster's shared block values over
+    cap -> DROPPED from pairing, visible in lineage — doc 21 surviving
+    is that drop's footprint: its pair evidence sat in over-cap
+    blocks)."""
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    giant = (
+        "breaking news tonight as council members voted to approve plans for expanding "
+        "harbor facilities while local residents voiced support and the officials promised "
+        "careful oversight during construction"
+    )
+    long_core = giant + " " + giant.replace("breaking", "striking")
+    clean0 = "the quick brown fox jumps over a lazy dog near this river bank today"
+    clean1 = "a small team of engineers built the new bridge across that valley in record time"
+    rows = [(0, clean0), (1, clean1), (2, " ".join(reversed(clean0.split())))]
+    rows += [(20 + g, long_core + f" extra{g}") for g in range(6)]
+    rows += [(50, "an unrelated singleton document describing watermark semantics in some detail")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    out = str(tmp_path / "prep_simhash")
+    res = run_corpus_prep(
+        spark, docs, out, near_method="simhash", max_bucket=3, min_quality=0.0
+    )
+    assert [m["stage"] for m in res["lineage"]] == [
+        "exact_deduped",
+        "simhash_sigs",
+        "giant_buckets",
+        "near_components",
+        "near_deduped",
+        "quality",
+        "corpus",
+    ]
+    comp = {r["doc_id"]: r for r in res["components"].collect()}
+    # pile path: the reordered doc has the SAME signature as doc 0
+    assert comp[2]["component"] == 0 and not comp[2]["keep"]
+    # pair path: cluster members whose shared blocks stayed under cap
+    for d in (22, 23, 24, 25):
+        assert comp[d]["component"] == 20 and not comp[d]["keep"]
+    # the drop's footprint: 21's pair evidence was in over-cap blocks
+    assert comp[21]["keep"]
+    # no-silent-caps: the dropped block values are countable from lineage
+    by = {m["stage"]: m for m in res["lineage"]}
+    assert by["giant_buckets"]["n_rows"] == 2
+    assert len(by["near_components"]["cc_iterations"]) >= 1
+    assert sorted(r["doc_id"] for r in res["corpus"].select("doc_id").collect()) == [
+        0, 1, 20, 21, 50,
+    ]
+
+    # resume: every stage replays from its manifest
+    res2 = run_corpus_prep(
+        spark, docs, out, near_method="simhash", max_bucket=3, min_quality=0.0
+    )
+    assert all(m.get("resumed") for m in res2["lineage"]), res2["lineage"]
+    # d feeds pairing but not the signature scan: changing it rebuilds
+    # giant_buckets/near_components and leaves simhash_sigs resumed
+    res3 = run_corpus_prep(
+        spark, docs, out, near_method="simhash", max_bucket=3, min_quality=0.0,
+        simhash_max_hamming=2,
+    )
+    by3 = {m["stage"]: m for m in res3["lineage"]}
+    assert by3["simhash_sigs"].get("resumed")
+    assert not by3["giant_buckets"].get("resumed")
+    assert not by3["near_components"].get("resumed")
