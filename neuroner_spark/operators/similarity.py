@@ -336,3 +336,244 @@ def near_dedup_vectors(
         comp_or_self.alias("component"),
         (comp_or_self == F.col("vec_id")).alias("keep"),
     )
+
+
+# --- IVF-PQ: product-quantized ANN (Jegou, Douze, Schmid, "Product
+# Quantization for Nearest Neighbor Search", TPAMI 2011) -------------
+#
+# The memory-bound scale path: raw float32 embeddings at dim=64 cost
+# 256 B/vector — 256 TB for a 10^12-vector corpus, which no cluster
+# scans per query.  PQ splits each (L2-normalized, cell-residual)
+# vector into ``m`` subvectors and stores only the nearest-codeword id
+# per subspace: m bytes/vector (m=8 -> 32x compression, 8 TB), and a
+# query scans CODES with a per-cell lookup table (ADC) instead of
+# floats.  Composition here:
+#   ivfpq_index  : KMeans coarse cells (reuses ivf_index) -> residual
+#                  r = x/|x| - centroid[cell] -> driver-trained PQ
+#                  codebooks (bounded sample) -> mapInPandas encode.
+#   ivfpq_search : probe nprobe cells, ADC-score their codes in ONE
+#                  Arrow-batched pass (no per-row Python), keep a
+#                  ``rerank``-sized candidate pool via
+#                  TakeOrderedAndProject, then EXACT cosine re-rank of
+#                  the pool against the float vectors (standard
+#                  IVFADC+R refinement) — output matches ivf_topk.
+
+
+def pq_train(vectors, m: int = 8, nbits: int = 8, iters: int = 10, seed: int = 42):
+    """Lloyd k-means per subspace over a driver-side ndarray sample.
+
+    vectors: ndarray [n, dim] (the caller bounds n — a quantizer is
+    trained on a SAMPLE by design; 10-100k rows saturate 256 codewords
+    per subspace).  Returns codebooks ndarray [m, 2**nbits, dim//m].
+    """
+    import numpy as np
+
+    x = np.asarray(vectors, dtype=np.float64)
+    n, dim = x.shape
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    dsub = dim // m
+    ncode = 1 << nbits
+    rng = np.random.default_rng(seed)
+    books = np.empty((m, ncode, dsub))
+    sub = x.reshape(n, m, dsub)
+    for j in range(m):
+        xs = sub[:, j, :]
+        # seeded init from distinct sample points (codebook padded by
+        # jittered repeats when the sample is smaller than the book)
+        idx = rng.permutation(n)[:ncode]
+        cb = xs[idx]
+        if len(cb) < ncode:
+            pad = xs[rng.integers(0, n, ncode - len(cb))]
+            cb = np.concatenate([cb, pad + rng.normal(0, 1e-4, pad.shape)])
+        for _ in range(iters):
+            # [n, ncode] distances via |a-b|^2 = |a|^2 - 2ab + |b|^2
+            d2 = (
+                (xs * xs).sum(1)[:, None]
+                - 2.0 * xs @ cb.T
+                + (cb * cb).sum(1)[None, :]
+            )
+            assign = d2.argmin(1)
+            for c in range(ncode):
+                mask = assign == c
+                if mask.any():
+                    cb[c] = xs[mask].mean(0)
+                else:  # empty cluster: restart on a random sample point
+                    cb[c] = xs[rng.integers(0, n)]
+        books[j] = cb
+    return books
+
+
+def ivfpq_index(
+    embeddings: DataFrame,
+    n_cells: int = 16,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    train_sample: int = 20_000,
+    iters: int = 10,
+):
+    """Build the IVF-PQ index over (vec_id, embedding).
+
+    Returns (codes DataFrame (vec_id, cell, codes array<int>),
+    centroids ndarray [n_cells, dim], codebooks [m, 2**nbits, dim/m]).
+
+    Vectors are L2-normalized before cell assignment and residual
+    encoding, so ADC L2 ordering == cosine ordering downstream.  The
+    PQ training sample is DRIVER-BOUNDED (``train_sample`` rows via
+    seeded sort-hash sampling — deterministic, partition-count
+    independent); encoding itself is one distributed mapInPandas pass.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = embeddings.sparkSession
+    unit = embeddings.select(
+        "vec_id", "embedding", _norm(F.col("embedding")).alias("_n")
+    ).select(
+        "vec_id",
+        F.transform("embedding", lambda v: v.cast("double") / F.col("_n")).alias(
+            "embedding"
+        ),
+    )
+    assigned, centroids = ivf_index(unit, n_cells, seed)
+    # deterministic bounded sample of residuals for codebook training:
+    # xxhash64 orders rows stably regardless of partitioning
+    sample_rows = (
+        assigned.orderBy(F.xxhash64(F.col("vec_id").cast("string"), F.lit(seed)))
+        .limit(train_sample)
+        .select("cell", "embedding")
+        .collect()
+    )
+    res = np.array(
+        [np.asarray(r["embedding"]) - centroids[r["cell"]] for r in sample_rows]
+    )
+    books = pq_train(res, m=m, nbits=nbits, iters=iters, seed=seed)
+    dim = centroids.shape[1]
+    dsub = dim // m
+    cent_b = centroids.copy()
+    books_b = books.copy()
+
+    def encode(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].map(np.asarray).values).astype(np.float64)
+            r = x - cent_b[pdf["cell"].values]
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            rs = r.reshape(len(pdf), m, dsub)
+            for j in range(m):
+                cb = books_b[j]
+                d2 = (
+                    (rs[:, j, :] ** 2).sum(1)[:, None]
+                    - 2.0 * rs[:, j, :] @ cb.T
+                    + (cb * cb).sum(1)[None, :]
+                )
+                codes[:, j] = d2.argmin(1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "cell": pdf["cell"],
+                    "codes": list(codes),
+                }
+            )
+
+    codes = assigned.mapInPandas(
+        encode, "vec_id long, cell int, codes array<int>"
+    )
+    return codes, centroids, books
+
+
+def ivfpq_search(
+    codes: DataFrame,
+    centroids,
+    codebooks,
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    rerank: int | None = None,
+) -> DataFrame:
+    """ADC search over a prebuilt IVF-PQ index (the many-queries shape:
+    index once, search cheaply).  Output (vec_id, cos_sim, rank) —
+    cos_sim EXACT over the re-ranked candidate pool.
+
+    Scale: the scan touches only ``nprobe`` cells of the m-byte codes
+    table; the per-query LUT ([nprobe, m, 2**nbits] doubles, ~0.5 MB)
+    rides the task closure; the exact re-rank joins a ``rerank``-sized
+    (default 4k) id set back to the float table — a broadcast semi
+    join, never a second corpus scan."""
+    import numpy as np
+    import pandas as pd
+
+    q = np.asarray(query_vec, dtype=np.float64)
+    q = q / np.linalg.norm(q)
+    m, ncode, dsub = codebooks.shape
+    dc = ((centroids - q[None, :]) ** 2).sum(1)
+    probe = np.argsort(dc)[:nprobe]
+    # LUT[c][j, t] = |(q - centroid_c)_j - codebook[j][t]|^2
+    luts = {}
+    for c in probe:
+        rq = (q - centroids[c]).reshape(m, dsub)
+        luts[int(c)] = np.stack(
+            [
+                ((rq[j][None, :] - codebooks[j]) ** 2).sum(1)
+                for j in range(m)
+            ]
+        )
+
+    probe_list = [int(c) for c in probe]
+    jj = np.arange(m)
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out_id, out_d2 = [], []
+            for c, grp in pdf.groupby("cell"):
+                lut = luts[int(c)]
+                arr = np.stack(grp["codes"].map(np.asarray).values)
+                d2 = lut[jj[None, :], arr].sum(1)
+                out_id.append(grp["vec_id"].values)
+                out_d2.append(d2)
+            yield pd.DataFrame(
+                {
+                    "vec_id": np.concatenate(out_id),
+                    "d2": np.concatenate(out_d2),
+                }
+            )
+
+    pool_n = rerank if rerank is not None else 4 * k
+    cand = (
+        codes.filter(F.col("cell").isin(probe_list))
+        .mapInPandas(adc, "vec_id long, d2 double")
+        .orderBy(F.asc("d2"), F.asc("vec_id"))
+        .limit(pool_n)
+        .select("vec_id")
+    )
+    q_lit = F.array(*[F.lit(float(v)) for v in np.asarray(query_vec, dtype=np.float64)])
+    scored = embeddings.join(F.broadcast(cand), "vec_id").select(
+        "vec_id", F.round(cosine(F.col("embedding"), q_lit), 6).alias("cos_sim")
+    )
+    return _take_topk(scored, k)
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    m: int = 8,
+    nbits: int = 8,
+    seed: int = 42,
+    rerank: int | None = None,
+) -> DataFrame:
+    """One-shot convenience: build the IVF-PQ index, then search.
+    Same output contract as ``ivf_topk`` (vec_id, cos_sim, rank)."""
+    codes, centroids, books = ivfpq_index(
+        embeddings, n_cells=n_cells, m=m, nbits=nbits, seed=seed
+    )
+    return ivfpq_search(
+        codes, centroids, books, embeddings, query_vec, k=k, nprobe=nprobe, rerank=rerank
+    )

@@ -205,6 +205,89 @@ def main() -> None:
             )
     print("LSH pair recall vs n_tables:", json.dumps(lsh_recall, indent=1))
 
+    # ---------- 3. IVF-PQ (r6): ADC recall on 32x-compressed codes ----
+    # same pattern as the IVF sweep: the index (cells + residual
+    # codebooks + codes) is built ONCE by the Spark operator, parity-
+    # checked against ``ivfpq_search`` for one query, then swept
+    # driver-side over the collected codes.  Pool = 4k candidates by
+    # ADC distance, exact-cosine re-rank (what the operator does).
+    from neuroner_spark.operators.similarity import ivfpq_index, ivfpq_search
+
+    M_PQ, NBITS = 8, 8
+
+    def ivfpq_sweep(emb_df, X_, cos_, rng_):
+        codes_df, cents, books = ivfpq_index(
+            emb_df, n_cells=N_CELLS, m=M_PQ, nbits=NBITS, seed=42
+        )
+        code_rows = codes_df.collect()
+        n_ = len(X_)
+        id2i = {}
+        for i, r in enumerate(emb_df.select("vec_id").orderBy("vec_id").collect()):
+            id2i[int(r["vec_id"])] = i
+        codes_a = np.zeros((n_, M_PQ), dtype=np.int64)
+        cell_a = np.zeros(n_, dtype=np.int64)
+        ids_a = np.zeros(n_, dtype=np.int64)
+        for r in code_rows:
+            i = id2i[int(r["vec_id"])]
+            codes_a[i] = r["codes"]
+            cell_a[i] = r["cell"]
+            ids_a[i] = r["vec_id"]
+        Xn_ = X_ / np.linalg.norm(X_, axis=1, keepdims=True)
+        dsub = X_.shape[1] // M_PQ
+        jj = np.arange(M_PQ)
+
+        def adc_pool(qi, nprobe, pool, exclude_self=True):
+            q = Xn_[qi]
+            probes = np.argsort(((cents - q[None, :]) ** 2).sum(1))[:nprobe]
+            mask = np.isin(cell_a, probes)
+            if exclude_self:
+                mask &= np.arange(n_) != qi
+            idxs = np.nonzero(mask)[0]
+            d2 = np.zeros(len(idxs))
+            for c in np.unique(cell_a[idxs]):
+                rq = (q - cents[c]).reshape(M_PQ, dsub)
+                lut = np.stack([((rq[j][None] - books[j]) ** 2).sum(1) for j in range(M_PQ)])
+                sel = cell_a[idxs] == c
+                d2[sel] = lut[jj[None, :], codes_a[idxs[sel]]].sum(1)
+            order = np.lexsort((ids_a[idxs], d2))[:pool]
+            return idxs[order]
+
+        # parity: driver-side == ivfpq_search for query 0 at nprobe=4
+        # (self NOT excluded — the operator searches the full corpus,
+        # where query 0 is a member and scores cos=1.0)
+        pool_idx = adc_pool(0, 4, 4 * K, exclude_self=False)
+        sc = cos_[0, pool_idx].round(6)
+        order = np.lexsort((ids_a[pool_idx], -sc))[:K]
+        mine = [(int(ids_a[pool_idx[i]]), float(sc[i])) for i in order]
+        srows = ivfpq_search(
+            codes_df, cents, books, emb_df, X_[0].tolist(), k=K, nprobe=4
+        ).collect()
+        theirs = [
+            (int(r["vec_id"]), float(r["cos_sim"]))
+            for r in sorted(srows, key=lambda r: r["rank"])
+        ]
+        assert mine == theirs, f"driver-side IVF-PQ diverges from ivfpq_search:\n{mine}\n{theirs}"
+
+        queries = rng_.choice(n_, size=N_QUERIES, replace=False)
+        rec = {}
+        for pool in (4 * K, 16 * K):
+            for nprobe in [1, 2, 4, 8, 16]:
+                hits = 0
+                for qi in queries:
+                    exact = np.argsort(
+                        -np.where(np.arange(n_) == qi, -np.inf, cos_[qi])
+                    )[:K]
+                    got = set(adc_pool(qi, nprobe, pool)[:pool])
+                    # exact re-rank keeps any true neighbor in the pool
+                    hits += sum(1 for j in exact if j in got)
+                rec.setdefault(pool, {})[nprobe] = round(hits / (K * len(queries)), 4)
+        return rec
+
+    ivfpq_recall = ivfpq_sweep(emb.select("vec_id", "embedding"), X, cos, np.random.default_rng(7))
+    print("IVF-PQ recall@10 vs nprobe by pool (m=8, floor corpus):", ivfpq_recall)
+    ivfpq_recall_clustered = ivfpq_sweep(emb_c, Xc, cos_c, np.random.default_rng(13))
+    print("IVF-PQ recall@10 vs nprobe by pool (m=8, clustered fixture):", ivfpq_recall_clustered)
+
     # sanity gates: recall must be monotone in the knob, and exhaustive
     # settings must be lossless (nprobe = n_cells -> exact top-k)
     for name, rec in [("floor", ivf_recall), ("clustered", ivf_recall_clustered)]:
@@ -214,6 +297,18 @@ def main() -> None:
     for lvl in NOISE_LEVELS:
         curve = [lsh_recall[t][lvl] for t in [1, 2, 4, 8]]
         assert curve == sorted(curve), f"LSH recall not monotone for {lvl}: {curve}"
+    # PQ pool-limited recall: monotone within a small tolerance (a
+    # fixed 4k pool can swap one true neighbor out when an extra cell
+    # contributes an ADC-closer false candidate)
+    for name, rec in [("floor", ivfpq_recall), ("clustered", ivfpq_recall_clustered)]:
+        for pool, curve in rec.items():
+            vals = [curve[p] for p in [1, 2, 4, 8, 16]]
+            assert all(b >= a - 0.02 for a, b in zip(vals, vals[1:])), (
+                f"IVF-PQ {name} pool={pool} recall degrades with nprobe: {vals}"
+            )
+        # the pool is the distortion-recovery knob: at full probe a
+        # 4x-bigger pool must not lose recall
+        assert rec[16 * K][16] >= rec[4 * K][16], rec
     out = {
         "ivf": {"n_cells": N_CELLS, "k": K, "n_queries": N_QUERIES,
                 "recall_at_k_vs_nprobe": ivf_recall,
@@ -226,6 +321,17 @@ def main() -> None:
                         "mean_core_cos_to_center": round(mean_intra, 4)},
             "recall_at_k_vs_nprobe": ivf_recall_clustered,
             "note": "planted Zipf Gaussian clusters: the realistic corpus shape"},
+        "ivfpq": {
+            "n_cells": N_CELLS, "k": K, "n_queries": N_QUERIES,
+            "m": M_PQ, "nbits": NBITS, "rerank_pools": [4 * K, 16 * K],
+            "compression_vs_float32": f"{DIM * 4 // M_PQ}x",
+            "recall_at_k_vs_nprobe_by_pool": ivfpq_recall,
+            "recall_at_k_vs_nprobe_by_pool_clustered": ivfpq_recall_clustered,
+            "note": "ADC over m-byte codes + exact re-rank of the candidate pool. "
+                    "On the clustered fixture the recall ceiling is WITHIN-CELL "
+                    "quantization noise, not probing — the 4k pool plateaus and "
+                    "the 16k pool is the knob that recovers it; on the floor "
+                    "corpus nprobe dominates and the pools coincide."},
         "lsh": {"n_planes": N_PLANES, "n_tables_swept": [1, 2, 4, 8],
                 "planted_pair_mean_cos": {k: round(v, 4) for k, v in pair_cos.items()},
                 "recall_vs_n_tables": lsh_recall},
