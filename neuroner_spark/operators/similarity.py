@@ -577,3 +577,114 @@ def ivfpq_topk(
     return ivfpq_search(
         codes, centroids, books, embeddings, query_vec, k=k, nprobe=nprobe, rerank=rerank
     )
+
+
+def ivfpq_knn_join(
+    codes: DataFrame,
+    centroids,
+    codebooks,
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 4,
+    rerank: int | None = None,
+) -> DataFrame:
+    """Batch k-NN: MANY query vectors against a prebuilt IVF-PQ index —
+    the production shape (`knn_join_topk` over 32x-compressed codes).
+
+    queries: (q_id, embedding), broadcastable by contract (a probe
+    batch vs a huge corpus — same contract as ``knn_join_topk``).
+    Output: (q_id, vec_id, cos_sim, rank), cos_sim EXACT over each
+    query's re-ranked pool.
+
+    Distribution: probe-cell selection is a JVM-side broadcast join
+    against the (tiny) centroid table — no driver loop over queries;
+    ADC scoring is ONE Arrow pass over the codes of probed cells,
+    grouping each batch by (q_id, cell) so a [m, 2**nbits] LUT is
+    built once per group and applied by fancy-indexing; the exact
+    re-rank touches |queries|·rerank rows via broadcast joins.  The
+    codes scan stays pruned to the union of probed cells."""
+    import numpy as np
+    import pandas as pd
+
+    spark = codes.sparkSession
+    n_cells, dim = centroids.shape
+    m, ncode, dsub = codebooks.shape
+    cent_df = spark.createDataFrame(
+        [(int(c), centroids[c].tolist()) for c in range(n_cells)],
+        "cell int, centroid array<double>",
+    )
+    qn = queries.select(
+        "q_id", "embedding", _norm(F.col("embedding")).alias("_n")
+    ).select(
+        "q_id",
+        F.transform("embedding", lambda v: v.cast("double") / F.col("_n")).alias("q_emb"),
+    )
+    qd2 = (
+        qn.crossJoin(F.broadcast(cent_df))
+        .withColumn(
+            "q_cell_d2",
+            F.aggregate(
+                F.zip_with("q_emb", "centroid", lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.asc("q_cell_d2"), F.asc("cell"))
+    probes = (
+        qd2.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select("q_id", "cell", "q_emb", "centroid")
+    )
+    joined = codes.join(F.broadcast(probes), "cell")
+
+    books_b = codebooks.copy()
+    jj = np.arange(m)
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            out = []
+            for (qid, cell), grp in pdf.groupby(["q_id", "cell"]):
+                rq = (
+                    np.asarray(grp["q_emb"].iloc[0]) - np.asarray(grp["centroid"].iloc[0])
+                ).reshape(m, dsub)
+                lut = np.stack(
+                    [((rq[j][None, :] - books_b[j]) ** 2).sum(1) for j in range(m)]
+                )
+                arr = np.stack(grp["codes"].map(np.asarray).values)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "q_id": qid,
+                            "vec_id": grp["vec_id"].values,
+                            "d2": lut[jj[None, :], arr].sum(1),
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    scored = joined.mapInPandas(adc, "q_id long, vec_id long, d2 double")
+    pool_n = rerank if rerank is not None else 4 * k
+    wp = Window.partitionBy("q_id").orderBy(F.asc("d2"), F.asc("vec_id"))
+    pool = (
+        scored.withColumn("_rn", F.row_number().over(wp))
+        .filter(F.col("_rn") <= pool_n)
+        .select("q_id", "vec_id")
+    )
+    exact = (
+        embeddings.join(F.broadcast(pool), "vec_id")
+        .join(F.broadcast(queries.select("q_id", F.col("embedding").alias("q_raw"))), "q_id")
+        .select(
+            "q_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("q_raw")), 6).alias("cos_sim"),
+        )
+    )
+    wk = Window.partitionBy("q_id").orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(wk).cast("long"))
+        .filter(F.col("rank") <= k)
+    )

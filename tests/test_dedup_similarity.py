@@ -791,3 +791,46 @@ def test_ivfpq_index_codes_shape(spark):
     assert all(len(r["codes"]) == 8 for r in rows)
     assert all(0 <= c < 64 for r in rows for c in r["codes"])
     assert all(0 <= r["cell"] < 8 for r in rows)
+
+
+def test_ivfpq_knn_join_matches_exact_join(spark):
+    """Batch ADC k-NN over the prebuilt index agrees with the exact
+    broadcast k-NN join at full probe, and mostly probe-limited."""
+    from neuroner_spark.operators.similarity import (
+        ivfpq_index,
+        ivfpq_knn_join,
+        knn_join_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = (
+        emb.filter(F.col("vec_id") < 3)
+        .selectExpr("vec_id as q_id", "embedding")
+    )
+    corpus = emb.filter(F.col("vec_id") >= 3)
+    exact = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in knn_join_topk(corpus, queries, k=5).collect()
+    }
+    codes, cents, books = ivfpq_index(corpus, n_cells=8, m=8)
+    # full probe + full re-rank pool is LOSSLESS by construction (the
+    # exact-cosine re-rank sees every vector); the default 4k pool may
+    # drop a boundary neighbor ADC mis-ranks — that's the knob, not a bug
+    n_corpus = corpus.count()
+    full = {
+        (r["q_id"], r["rank"]): r["vec_id"]
+        for r in ivfpq_knn_join(
+            codes, cents, books, corpus, queries, k=5, nprobe=8, rerank=n_corpus
+        ).collect()
+    }
+    assert full == exact, (full, exact)
+    part = ivfpq_knn_join(codes, cents, books, corpus, queries, k=5, nprobe=4).collect()
+    by_q = {}
+    for r in part:
+        by_q.setdefault(r["q_id"], set()).add(r["vec_id"])
+    exact_by_q = {}
+    for (q, _), v in exact.items():
+        exact_by_q.setdefault(q, set()).add(v)
+    # probe-limited: at least half of each query's exact top-5 found
+    for q in exact_by_q:
+        assert len(by_q[q] & exact_by_q[q]) >= 2, (q, by_q[q], exact_by_q[q])
