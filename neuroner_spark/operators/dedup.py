@@ -357,6 +357,89 @@ def near_dedup_from_banded(
     )
 
 
+def incremental_near_dedup(
+    new_docs: DataFrame,
+    corpus_banded: DataFrame,
+    n: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    fast_hash: bool = False,
+    new_banded: DataFrame | None = None,
+) -> DataFrame:
+    """Dedup a NEW batch against an ALREADY-INGESTED corpus without
+    re-scanning it — the continuous-crawl shape: each snapshot dedups
+    against the accumulated corpus, represented ONLY by its
+    materialized band-signature table (``minhash_banded`` output, the
+    same frame corpus-prep already writes as its ``banded`` lineage
+    stage).
+
+    Semantics (same banding discipline as ``near_dedup_corpus``):
+      1. new-vs-corpus: a new doc sharing ANY band with an ingested
+         doc is a near-dup of the corpus -> ``dup_of_corpus`` with
+         ``dup_of`` = the smallest colliding corpus doc.  The corpus
+         side is first aggregated to ONE row per (band_id, band_hash)
+         — min doc + member count — so a boilerplate band with 10^6
+         corpus members joins as one row, never 10^6 (hot bands cost
+         O(keys), the cap discipline needs no second knob here).
+      2. new-vs-new: survivors run the standard capped-pair/star-edge
+         components keep-one among themselves -> ``kept`` or
+         ``dup_of_batch`` (``dup_of`` = cluster representative).
+
+    Output: ONE row per new doc — (doc_id, status, dup_of); docs too
+    short to shingle come back ``kept`` (no silent drop).  To ingest:
+    append the kept docs' rows of the new banded frame to the
+    signature store (``minhash_banded(kept).`` or semi-join the batch
+    frame on the kept ids) — the next snapshot then dedups against
+    them too.  Doc ids must be globally unique across snapshots (url
+    hash at web scale).
+
+    Scale: one scan of the new batch (banded, localCheckpointed), one
+    equi-join against the compact band index (shuffle on band_hash,
+    never on text), components only over the new batch's survivors.
+    The corpus scan is avoided entirely — at 10^12 ingested docs the
+    band index is the only corpus-sized input, and it arrives
+    pre-aggregated (or maintained incrementally as a keyed table).
+
+    ``new_banded``: pass the batch's banded frame when the caller has
+    already materialized it (the snapshot store appends the same
+    frame — one scan, not two); it must be the ``minhash_banded``
+    output for exactly ``new_docs`` under the same (n, bands,
+    fast_hash).
+    """
+    banded_new = (
+        new_banded
+        if new_banded is not None
+        else minhash_banded(new_docs, n, bands, id_col, text_col, fast_hash).localCheckpoint()
+    )
+    band_index = corpus_banded.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("first_doc")
+    )
+    hits = (
+        banded_new.join(band_index, ["band_id", "band_hash"])
+        .groupBy("doc_id")
+        .agg(F.min("first_doc").alias("dup_of"))
+    )
+    all_new = new_docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
+    surviving_banded = banded_new.join(hits.select("doc_id"), "doc_id", "left_anti")
+    surv_docs = all_new.join(hits.select("doc_id"), "doc_id", "left_anti")
+    within = near_dedup_from_banded(surviving_banded, surv_docs, max_bucket)
+    return hits.select(
+        "doc_id", F.lit("dup_of_corpus").alias("status"), "dup_of"
+    ).unionByName(
+        within.select(
+            "doc_id",
+            F.when(F.col("keep"), F.lit("kept"))
+            .otherwise(F.lit("dup_of_batch"))
+            .alias("status"),
+            F.when(F.col("keep"), F.lit(None).cast("long"))
+            .otherwise(F.col("component"))
+            .alias("dup_of"),
+        )
+    )
+
+
 def minhash_band_pairs(
     docs: DataFrame,
     n: int = 3,

@@ -416,3 +416,85 @@ def run_corpus_prep(
         "contamination": contamination,
         "lineage": lineage,
     }
+
+
+def run_incremental_snapshot(
+    spark: SparkSession,
+    new_docs: DataFrame,
+    store_dir: str,
+    snapshot_id: int,
+    n: int = 3,
+    bands: int = 4,
+    max_bucket: int | None = 1000,
+    fast_hash: bool = False,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Continuous-crawl ingestion: dedup one snapshot against the
+    accumulated SIGNATURE STORE (never the corpus text), then append
+    the kept docs' band signatures so the next snapshot sees them.
+
+    Store layout (partitioned parquet standing in for Iceberg
+    appends, like every sink here):
+      {store_dir}/bands/snapshot=<k>/      (doc_id, band_id, band_hash)
+      {store_dir}/decisions/snapshot=<k>/  (doc_id, status, dup_of)
+
+    Both writes OVERWRITE their own snapshot partition — a retried
+    snapshot replaces itself, never duplicates (the same idempotence
+    contract as streaming ingest's batch_id partitions).  Seeding from
+    an existing batch corpus-prep run: copy (or point a reader at) its
+    ``banded`` stage as snapshot 0.
+
+    Returns {'decisions': DataFrame, 'n_kept', 'n_dup_of_corpus',
+    'n_dup_of_batch'}.  Doc ids must be globally unique across
+    snapshots (url hash at web scale) and numeric; a snapshot must not
+    reuse an id already ingested.
+
+    Scale: one banded scan of the snapshot, one equi-join against the
+    band index (aggregated from the store — at 10^12 ingested docs
+    maintain the index as a compacted keyed table instead of
+    re-aggregating raw bands), components over the snapshot's
+    survivors only.  New snapshots never rescan old text."""
+    from neuroner_spark.operators.dedup import incremental_near_dedup, minhash_banded
+
+    bands_root = os.path.join(store_dir, "bands")
+    existing_snaps = (
+        sorted(d for d in os.listdir(bands_root) if d.startswith("snapshot="))
+        if os.path.isdir(bands_root)
+        else []
+    )
+    prior = [d for d in existing_snaps if int(d.split("=")[1]) != snapshot_id]
+    if prior:
+        corpus_banded = spark.read.parquet(*[os.path.join(bands_root, d) for d in prior])
+    else:
+        corpus_banded = spark.createDataFrame(
+            [], "doc_id long, band_id int, band_hash long"
+        )
+    banded_new = minhash_banded(
+        new_docs, n, bands, id_col, text_col, fast_hash
+    ).localCheckpoint()
+    decisions = incremental_near_dedup(
+        new_docs,
+        corpus_banded,
+        n=n,
+        bands=bands,
+        max_bucket=max_bucket,
+        id_col=id_col,
+        text_col=text_col,
+        fast_hash=fast_hash,
+        new_banded=banded_new,
+    ).localCheckpoint()
+    kept_ids = decisions.filter(F.col("status") == "kept").select("doc_id")
+    banded_new.join(F.broadcast(kept_ids), "doc_id", "left_semi").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(bands_root, f"snapshot={snapshot_id}"))
+    decisions.write.mode("overwrite").parquet(
+        os.path.join(store_dir, "decisions", f"snapshot={snapshot_id}")
+    )
+    counts = {r["status"]: r["n"] for r in decisions.groupBy("status").agg(F.count("*").alias("n")).collect()}
+    return {
+        "decisions": decisions,
+        "n_kept": counts.get("kept", 0),
+        "n_dup_of_corpus": counts.get("dup_of_corpus", 0),
+        "n_dup_of_batch": counts.get("dup_of_batch", 0),
+    }

@@ -361,3 +361,53 @@ def test_corpus_prep_simhash_method(spark, tmp_path):
     assert by3["simhash_sigs"].get("resumed")
     assert not by3["giant_buckets"].get("resumed")
     assert not by3["near_components"].get("resumed")
+
+
+def test_incremental_snapshot_store(spark, tmp_path):
+    """Snapshot store E2E: snapshot 0 seeds the band store; snapshot 1
+    dedups against it via signatures only; a retried snapshot
+    overwrites its own partition (idempotent under retry)."""
+    from neuroner_spark.plans.corpus_pipeline import run_incremental_snapshot
+
+    store = str(tmp_path / "store")
+    base = (
+        "the quick brown fox jumps over the lazy dog while the merge sort "
+        "algorithm scans the big table and the hash join builds its side"
+    )
+    snap0 = spark.createDataFrame(
+        [(1, base), (2, "some totally unrelated page about streaming state")],
+        "doc_id long, text string",
+    )
+    r0 = run_incremental_snapshot(spark, snap0, store, snapshot_id=0)
+    assert r0["n_kept"] == 2 and r0["n_dup_of_corpus"] == 0
+
+    snap1 = spark.createDataFrame(
+        [
+            (10, base),  # near/exact dup of ingested doc 1
+            (11, "fresh never-seen content about inverted file probes"),
+            (12, "fresh never-seen content about inverted file probes"),  # batch dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    r1 = run_incremental_snapshot(spark, snap1, store, snapshot_id=1)
+    d1 = {r["doc_id"]: r for r in r1["decisions"].collect()}
+    assert d1[10]["status"] == "dup_of_corpus" and d1[10]["dup_of"] == 1
+    assert d1[11]["status"] == "kept"
+    assert d1[12]["status"] == "dup_of_batch" and d1[12]["dup_of"] == 11
+
+    # retry of snapshot 1: same decisions, store NOT doubled — the next
+    # snapshot still sees exactly one copy of doc 11's bands
+    r1b = run_incremental_snapshot(spark, snap1, store, snapshot_id=1)
+    assert {r["doc_id"]: r["status"] for r in r1b["decisions"].collect()} == {
+        k: v["status"] for k, v in d1.items()
+    }
+    bands = spark.read.parquet(f"{store}/bands/snapshot=1")
+    assert bands.select("doc_id").distinct().count() == 1  # only doc 11 kept
+
+    snap2 = spark.createDataFrame(
+        [(20, "fresh never-seen content about inverted file probes")],
+        "doc_id long, text string",
+    )
+    r2 = run_incremental_snapshot(spark, snap2, store, snapshot_id=2)
+    d2 = r2["decisions"].collect()[0]
+    assert d2["status"] == "dup_of_corpus" and d2["dup_of"] == 11

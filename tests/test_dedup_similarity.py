@@ -834,3 +834,46 @@ def test_ivfpq_knn_join_matches_exact_join(spark):
     # probe-limited: at least half of each query's exact top-5 found
     for q in exact_by_q:
         assert len(by_q[q] & exact_by_q[q]) >= 2, (q, by_q[q], exact_by_q[q])
+
+
+def test_incremental_near_dedup_against_signature_store(spark):
+    """New snapshot dedups against the corpus via its banded signature
+    table only: corpus near-dups flagged with their corpus rep,
+    within-batch dups clustered, unique docs kept — and appending the
+    kept docs' bands makes the NEXT snapshot see them as corpus."""
+    from neuroner_spark.operators.dedup import incremental_near_dedup, minhash_banded
+
+    corpus = spark.createDataFrame(
+        [(0, BASE), (4, "completely different text about spark streaming windows and state")],
+        "doc_id long, text string",
+    )
+    store = minhash_banded(corpus)
+    fresh = "entirely novel content about product quantization and inverted files"
+    batch = spark.createDataFrame(
+        [
+            (10, BASE),  # exact replica of corpus doc 0
+            (11, BASE.replace("lazy", "sleepy")),  # near-dup of corpus doc 0
+            (12, fresh),
+            (13, fresh),  # within-batch dup of 12
+            (14, "some other unique page text mentioning nothing seen before"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_near_dedup(batch, store).collect()}
+    assert len(out) == 5  # one row per new doc, nothing dropped
+    assert out[10]["status"] == "dup_of_corpus" and out[10]["dup_of"] == 0
+    assert out[11]["status"] == "dup_of_corpus" and out[11]["dup_of"] == 0
+    assert out[12]["status"] == "kept" and out[12]["dup_of"] is None
+    assert out[13]["status"] == "dup_of_batch" and out[13]["dup_of"] == 12
+    assert out[14]["status"] == "kept"
+
+    # ingest the kept docs: append their bands; a replica of doc 12 in
+    # the next snapshot is now a CORPUS dup, not a batch dup
+    kept_ids = [d for d, r in out.items() if r["status"] == "kept"]
+    store2 = store.unionByName(
+        minhash_banded(batch.filter(F.col("doc_id").isin(kept_ids)))
+    )
+    nxt = spark.createDataFrame([(20, fresh)], "doc_id long, text string")
+    out2 = incremental_near_dedup(nxt, store2).collect()
+    assert len(out2) == 1
+    assert out2[0]["status"] == "dup_of_corpus" and out2[0]["dup_of"] == 12
