@@ -69,6 +69,7 @@ def run_streaming_pipeline(
     rejects_dir: str | None = None,
     contamination_n: int = 8,
     contamination_threshold: float = 0.05,
+    dedup_store_dir: str | None = None,
 ) -> None:
     """foreachBatch KG pipeline: each micro-batch of pages runs the
     batch stages (normalize -> tokenize -> match -> link -> triples)
@@ -85,7 +86,20 @@ def run_streaming_pipeline(
     dropped: when ``rejects_dir`` is set they land in its
     ``batch_id=<n>`` partition with a ``reject_reason`` column — same
     overwrite idempotence as the triples table, so a retried batch
-    never duplicates rejects either."""
+    never duplicates rejects either.
+
+    ``dedup_store_dir`` adds the INCREMENTAL NEAR-DUP gate (r6): each
+    micro-batch's quality-accepted pages dedup against the accumulated
+    band-signature store (``run_incremental_snapshot`` keyed by
+    ``xxhash64(url)`` — 64-bit, collisions negligible at crawl scale),
+    with ``batch_id`` as the snapshot id.  Near-dups of ANY previously
+    ingested page (or of another page in the same batch) are routed to
+    rejects as ``near_duplicate``; survivors' band signatures are
+    appended so later batches see them.  A retried batch overwrites
+    its own store partition and ``run_incremental_snapshot`` excludes
+    it from the corpus side, so the gate is retry-idempotent like both
+    sinks.  Quality/contamination run FIRST so junk never enters the
+    signature store."""
     import os
 
     from neuroner_spark.functions.text_analysis import quality_score
@@ -126,7 +140,7 @@ def run_streaming_pipeline(
                 df.unpersist(blocking=False)
 
     def _run_batch(batch_df: DataFrame, batch_id: int, pinned: list) -> None:
-        if min_quality is not None or benchmark is not None:
+        if min_quality is not None or benchmark is not None or dedup_store_dir is not None:
             gated = batch_df.withColumn("_quality", quality_score(F.col("text")))
             reason = F.lit(None).cast("string")
             if benchmark is not None:
@@ -149,6 +163,47 @@ def run_streaming_pipeline(
             # so the gate expressions (and any tagger upstream) run once
             gated = gated.persist()
             pinned.append(gated)
+            if dedup_store_dir is not None:
+                from neuroner_spark.plans.corpus_pipeline import run_incremental_snapshot
+
+                accepted = gated.filter(F.col("_reject_reason").isNull())
+                snap_src = accepted.select(F.xxhash64("url").alias("doc_id"), "text")
+                if not snap_src.isEmpty():
+                    # spill the batch's dedup input to a scratch
+                    # partition and read it back: the dedup's
+                    # pair/star-edge unions trip Catalyst's Union
+                    # constraint rewrite (key-not-found on a pruned
+                    # attribute) when the micro-batch's cloned-session
+                    # lineage flows into them, and localCheckpoint
+                    # would pin blocks with no releasable handle (the
+                    # r5 streaming-leak lesson).  Overwrite of the
+                    # batch's own path = retry-idempotent like every
+                    # sink here.
+                    intake = os.path.join(
+                        dedup_store_dir, "intake", f"batch_id={batch_id}"
+                    )
+                    snap_src.write.mode("overwrite").parquet(intake)
+                    snap = spark.read.parquet(intake)
+                    decisions = run_incremental_snapshot(
+                        spark,
+                        snap,
+                        dedup_store_dir,
+                        snapshot_id=batch_id,
+                        fast_hash=True,
+                    )["decisions"]
+                    dups = decisions.filter(F.col("status") != "kept").select(
+                        F.col("doc_id").alias("_did"),
+                        F.lit("near_duplicate").alias("_dup_reason"),
+                    )
+                    gated = (
+                        gated.withColumn("_did", F.xxhash64("url"))
+                        .join(F.broadcast(dups), "_did", "left")
+                        .withColumn(
+                            "_reject_reason",
+                            F.coalesce(F.col("_reject_reason"), F.col("_dup_reason")),
+                        )
+                        .drop("_did", "_dup_reason")
+                    )
             if rejects_dir is not None:
                 rejects = gated.filter(F.col("_reject_reason").isNotNull()).select(
                     "url", "warc_ts", "lang", F.col("_reject_reason").alias("reject_reason")

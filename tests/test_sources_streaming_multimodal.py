@@ -224,7 +224,15 @@ def test_streaming_intake_gates_route_rejects(spark, tmp_path):
     # the per-batch pinned gate frame is actually RELEASED (r5 ADVICE:
     # the old localCheckpoint + df.rdd.unpersist pairing leaked the
     # pinned JVM blocks — DataFrame.rdd builds a fresh RDD); under a
-    # continuous trigger a leak here accumulates without bound
+    # continuous trigger a leak here accumulates without bound.
+    # unpersist(blocking=False) is ASYNC — poll briefly before failing
+    # (observed flaking under load when asserted instantly)
+    import time as _time
+
+    for _ in range(50):
+        if spark.sparkContext._jsc.getPersistentRDDs().size() == pinned_before:
+            break
+        _time.sleep(0.1)
     assert spark.sparkContext._jsc.getPersistentRDDs().size() == pinned_before
 
 
@@ -461,3 +469,80 @@ def test_streaming_pipeline_neural_source(spark, tmp_path):
     # random seed-42 weights may or may not produce linkable mentions;
     # the contract is schema + a successful drain, re-drain is a no-op
     assert set(triples.columns) == {"subj", "pred", "obj", "url", "warc_ts", "batch_id"}
+
+
+def test_streaming_incremental_dedup_gate(spark, tmp_path):
+    """r6 dedup_store_dir gate: a page near-duplicating an ALREADY
+    ingested page (previous drain) or a same-batch page is routed to
+    rejects as near_duplicate; unique pages keep producing triples;
+    the store append + decisions survive the exactly-once re-drain."""
+    import datetime
+
+    from neuroner_spark.fixtures.gen import alias_df, pages_df
+    from neuroner_spark.streaming.ingest import run_streaming_pipeline
+
+    ts = datetime.datetime(2024, 1, 2)
+    base = pages_df(spark, 20)
+    landing = str(tmp_path / "landing")
+    base.write.parquet(landing)
+    out, ckpt, rejects, store = (
+        str(tmp_path / "triples"),
+        str(tmp_path / "ckpt"),
+        str(tmp_path / "rejects"),
+        str(tmp_path / "store"),
+    )
+    kwargs = dict(rejects_dir=rejects, dedup_store_dir=store)
+    run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark), **kwargs)
+    n1 = spark.read.parquet(out).count()
+    assert n1 > 0
+    # fixture pages may near-dup EACH OTHER (filler-vocab generator) —
+    # those batch dups are correct rejects; note them so drain-2
+    # assertions only look at the planted urls
+    import os
+
+    drain1_rejects = (
+        {r["url"] for r in spark.read.parquet(rejects).collect()}
+        if os.path.isdir(rejects)
+        else set()
+    )
+
+    # second crawl lands: a near-replica of an INGESTED page (suffix
+    # token), a fresh page, and a same-batch duplicate of that fresh page
+    victim = (
+        base.filter(~F.col("url").isin(list(drain1_rejects)))
+        .orderBy("url")
+        .limit(1)
+        .collect()[0]
+    )
+    fresh_text = (
+        "completely new reportage about harbor logistics and container "
+        "cranes moving through the terminal at dawn with steady wind"
+    )
+    second = spark.createDataFrame(
+        [
+            ("http://dup.example/replica", ts, b"", victim["text"] + " zzz", "en"),
+            ("http://fresh.example/a", ts, b"", fresh_text, "en"),
+            ("http://fresh.example/b", ts, b"", fresh_text + " tail", "en"),
+        ],
+        base.schema,
+    )
+    second.write.mode("append").parquet(landing)
+    run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark), **kwargs)
+    rej = {
+        r["url"]: r["reject_reason"]
+        for r in spark.read.parquet(rejects).collect()
+        if r["url"] not in drain1_rejects
+    }
+    assert rej.get("http://dup.example/replica") == "near_duplicate"
+    # exactly one of the twin fresh pages is rejected as a batch dup
+    twins = [u for u in rej if u.startswith("http://fresh.example/")]
+    assert len(twins) == 1 and rej[twins[0]] == "near_duplicate"
+    # no rejected url reaches the triples table; the kept twin does
+    triples2 = spark.read.parquet(out)
+    assert triples2.filter(F.col("url") == "http://dup.example/replica").count() == 0
+    n2 = triples2.count()
+    n_rej_total = spark.read.parquet(rejects).count()
+    # exactly-once: re-drain with no new input adds nothing anywhere
+    run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark), **kwargs)
+    assert spark.read.parquet(out).count() == n2
+    assert spark.read.parquet(rejects).count() == n_rej_total
