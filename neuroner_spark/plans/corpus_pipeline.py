@@ -470,27 +470,36 @@ def run_incremental_snapshot(
         corpus_banded = spark.createDataFrame(
             [], "doc_id long, band_id int, band_hash long"
         )
-    banded_new = minhash_banded(
-        new_docs, n, bands, id_col, text_col, fast_hash
-    ).localCheckpoint()
-    decisions = incremental_near_dedup(
-        new_docs,
-        corpus_banded,
-        n=n,
-        bands=bands,
-        max_bucket=max_bucket,
-        id_col=id_col,
-        text_col=text_col,
-        fast_hash=fast_hash,
-        new_banded=banded_new,
-    ).localCheckpoint()
-    kept_ids = decisions.filter(F.col("status") == "kept").select("doc_id")
-    banded_new.join(F.broadcast(kept_ids), "doc_id", "left_semi").write.mode(
-        "overwrite"
-    ).parquet(os.path.join(bands_root, f"snapshot={snapshot_id}"))
-    decisions.write.mode("overwrite").parquet(
-        os.path.join(store_dir, "decisions", f"snapshot={snapshot_id}")
-    )
+    # persist (NOT localCheckpoint): a long-lived driver runs this per
+    # micro-batch, and per-call checkpoint blocks have no releasable
+    # handle — the r5 streaming-leak class.  The banded frame is
+    # reused by the decisions plan and the store append, then released;
+    # decisions themselves round-trip through their own idempotent
+    # partition, so the returned frame is DISK-BACKED and pins nothing.
+    banded_new = minhash_banded(new_docs, n, bands, id_col, text_col, fast_hash).persist()
+    try:
+        incremental_near_dedup(
+            new_docs,
+            corpus_banded,
+            n=n,
+            bands=bands,
+            max_bucket=max_bucket,
+            id_col=id_col,
+            text_col=text_col,
+            fast_hash=fast_hash,
+            new_banded=banded_new,
+        ).write.mode("overwrite").parquet(
+            os.path.join(store_dir, "decisions", f"snapshot={snapshot_id}")
+        )
+        decisions = spark.read.parquet(
+            os.path.join(store_dir, "decisions", f"snapshot={snapshot_id}")
+        )
+        kept_ids = decisions.filter(F.col("status") == "kept").select("doc_id")
+        banded_new.join(F.broadcast(kept_ids), "doc_id", "left_semi").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(bands_root, f"snapshot={snapshot_id}"))
+    finally:
+        banded_new.unpersist(blocking=False)
     counts = {r["status"]: r["n"] for r in decisions.groupBy("status").agg(F.count("*").alias("n")).collect()}
     return {
         "decisions": decisions,

@@ -877,3 +877,25 @@ def test_incremental_near_dedup_against_signature_store(spark):
     out2 = incremental_near_dedup(nxt, store2).collect()
     assert len(out2) == 1
     assert out2[0]["status"] == "dup_of_corpus" and out2[0]["dup_of"] == 12
+
+
+def test_ivfpq_codes_partitioned_by_cell_prune(spark, tmp_path):
+    """The production codes-table layout: written partitionBy(cell),
+    a probe-limited search's `cell IN (...)` filter must PRUNE the
+    scan to the probed cells' directories — the plan-level reason
+    nprobe bounds IO, not just compute."""
+    from neuroner_spark.operators.similarity import ivfpq_index, ivfpq_search
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    codes, cents, books = ivfpq_index(emb, n_cells=8, m=8)
+    d = str(tmp_path / "codes")
+    codes.write.partitionBy("cell").parquet(d)
+    stored = spark.read.parquet(d)
+    qvec = emb.filter(F.col("vec_id") == 0).collect()[0]["embedding"]
+    out = ivfpq_search(stored, cents, books, emb, qvec, k=5, nprobe=2)
+    pruned = stored.filter(F.col("cell").isin([0, 1]))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # and the search itself still returns k ranked rows off the stored table
+    rows = out.collect()
+    assert len(rows) == 5 and [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]

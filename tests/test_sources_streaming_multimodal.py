@@ -225,15 +225,18 @@ def test_streaming_intake_gates_route_rejects(spark, tmp_path):
     # the old localCheckpoint + df.rdd.unpersist pairing leaked the
     # pinned JVM blocks — DataFrame.rdd builds a fresh RDD); under a
     # continuous trigger a leak here accumulates without bound.
-    # unpersist(blocking=False) is ASYNC — poll briefly before failing
-    # (observed flaking under load when asserted instantly)
+    # unpersist(blocking=False) is ASYNC, and the shared session's
+    # ContextCleaner may concurrently release localCheckpoint blocks
+    # LEFT BY EARLIER TESTS (observed: count dropped BELOW the captured
+    # baseline mid-test) — so poll, and assert no NEW pinned RDDs
+    # remain rather than exact equality with a moving baseline
     import time as _time
 
     for _ in range(50):
-        if spark.sparkContext._jsc.getPersistentRDDs().size() == pinned_before:
+        if spark.sparkContext._jsc.getPersistentRDDs().size() <= pinned_before:
             break
         _time.sleep(0.1)
-    assert spark.sparkContext._jsc.getPersistentRDDs().size() == pinned_before
+    assert spark.sparkContext._jsc.getPersistentRDDs().size() <= pinned_before
 
 
 def test_multimodal_plumbing(spark):
