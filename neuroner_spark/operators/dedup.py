@@ -367,6 +367,7 @@ def incremental_near_dedup(
     text_col: str = "text",
     fast_hash: bool = False,
     new_banded: DataFrame | None = None,
+    iteration_log: list | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an ALREADY-INGESTED corpus without
     re-scanning it — the continuous-crawl shape: each snapshot dedups
@@ -424,7 +425,9 @@ def incremental_near_dedup(
     all_new = new_docs.select(F.col(id_col).cast("long").alias("doc_id")).distinct()
     surviving_banded = banded_new.join(hits.select("doc_id"), "doc_id", "left_anti")
     surv_docs = all_new.join(hits.select("doc_id"), "doc_id", "left_anti")
-    within = near_dedup_from_banded(surviving_banded, surv_docs, max_bucket)
+    within = near_dedup_from_banded(
+        surviving_banded, surv_docs, max_bucket, iteration_log=iteration_log
+    )
     return hits.select(
         "doc_id", F.lit("dup_of_corpus").alias("status"), "dup_of"
     ).unionByName(

@@ -429,6 +429,7 @@ def run_incremental_snapshot(
     fast_hash: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
+    iteration_log: list | None = None,
 ) -> dict:
     """Continuous-crawl ingestion: dedup one snapshot against the
     accumulated SIGNATURE STORE (never the corpus text), then append
@@ -488,6 +489,7 @@ def run_incremental_snapshot(
             text_col=text_col,
             fast_hash=fast_hash,
             new_banded=banded_new,
+            iteration_log=iteration_log,
         ).write.mode("overwrite").parquet(
             os.path.join(store_dir, "decisions", f"snapshot={snapshot_id}")
         )

@@ -13,15 +13,24 @@ planted kinds: 25k near-replicas of store docs (-> dup_of_corpus),
 3-gram shingles are order-sensitive — but near-dups of each other ->
 ~20k dup_of_batch + ~5k kept).
 
-Legs (fresh JVM each, pure-python load probes bracketing):
+Legs (fresh JVM each, pure-python load probes bracketing; size legs
+and two-size legs INTERLEAVED across rounds — a single leg per
+configuration reads CC-path run variance as a trend):
   - incremental ingest at store sizes 100k / 200k / 400k (p=32):
     wall growth with store size should be the band-index aggregation
     only (sublinear in wall, nothing text-sized);
   - FULL re-dedup (`near_dedup_corpus`) of store+snapshot at the
-    largest size: the wall the incremental path replaces.
+    largest size: the wall the incremental path replaces;
+  - the north-rule two-size treatment (p=2 vs p=8) at the largest
+    store, with per-leg CC walls: at a 50k-doc snapshot the wall is
+    dominated by parallelism-INDEPENDENT cost (CC rounds + per-job
+    scheduler latency), so the efficiency number here measures the
+    fixed-cost floor — the compute core's scaling is evidenced by the
+    5M-doc corpus_scaling run, and the CC decomposition in this
+    artifact is what shows the difference is floor, not plan.
 
 Writes BENCH/incremental_dedup_scale.json.
-Usage: python scripts/incremental_dedup_scale.py [snapshot_per_kind]
+Usage: python scripts/incremental_dedup_scale.py [snapshot_per_kind] [rounds]
 """
 
 from __future__ import annotations
@@ -46,25 +55,28 @@ def probe():
     for i in range(2_000_000): x += i * i % 7
     return round(time.perf_counter() - t0, 3)
 
-mode, store_dir, snap_dir = sys.argv[1], sys.argv[2], sys.argv[3]
+mode, store_dir, snap_dir, cpus = sys.argv[1], sys.argv[2], sys.argv[3], sys.argv[4]
 from neuroner_spark.session import get_spark
 from pyspark.sql import functions as F
-spark = get_spark("incr_scale", cores="32", shuffle_partitions=32,
+spark = get_spark("incr_scale", cores=cpus, shuffle_partitions=int(cpus),
                   extra_conf={{"spark.ui.showConsoleProgress": "false"}})
 snap = spark.read.parquet(snap_dir)
 p0 = probe()
 t0 = time.time()
 if mode == "incremental":
     from neuroner_spark.plans.corpus_pipeline import run_incremental_snapshot
+    it_log = []
     r = run_incremental_snapshot(spark, snap, store_dir, snapshot_id=1,
-                                 fast_hash=True)
+                                 fast_hash=True, iteration_log=it_log)
     wall = round(time.time() - t0, 3)
+    cc_wall = round(sum(x["wall_sec"] for x in it_log), 3)
     out = {{"wall_s": wall, "n_kept": r["n_kept"],
             "n_dup_of_corpus": r["n_dup_of_corpus"],
-            "n_dup_of_batch": r["n_dup_of_batch"]}}
+            "n_dup_of_batch": r["n_dup_of_batch"],
+            "cc_rounds": len(it_log), "cc_wall_s": cc_wall}}
 else:  # full re-dedup of store text + snapshot (what incremental replaces)
     from neuroner_spark.operators.dedup import near_dedup_corpus
-    store_docs = spark.read.parquet(sys.argv[4])
+    store_docs = spark.read.parquet(sys.argv[5])
     both = store_docs.unionByName(snap)
     res = near_dedup_corpus(both, fast_hash=True, warn_giants=False)
     keeps = res.filter("keep").count()
@@ -134,9 +146,9 @@ def main() -> None:
 
     job = JOB.format(repo=REPO)
 
-    def run(mode: str, store_dir: str, extra: list[str]) -> dict:
+    def run(mode: str, store_dir: str, extra: list[str], cpus: int = 32) -> dict:
         p = subprocess.run(
-            [sys.executable, "-c", job, mode, store_dir, snap_dir, *extra],
+            [sys.executable, "-c", job, mode, store_dir, snap_dir, str(cpus), *extra],
             capture_output=True, text=True, timeout=7200,
         )
         line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
@@ -170,6 +182,17 @@ def main() -> None:
     big = store_sizes[80]
     full = run("full", big["store_dir"], [big["docs_dir"]])
 
+    # the north-rule two-size treatment for the NEW path: same snapshot
+    # ingest at N=2 and 4N=8 cores against the largest store,
+    # interleaved legs (this box's 32 shared vCPUs only genuinely
+    # offer ~4x hardware up to p=8 — BENCH/BASELINE.md convention)
+    two_size = {2: [], 8: []}
+    for _ in range(rounds):
+        for cpus in (8, 2):
+            two_size[cpus].append(run("incremental", big["store_dir"], [], cpus=cpus))
+    med2 = statistics.median(r["wall_s"] for r in two_size[2])
+    med8 = statistics.median(r["wall_s"] for r in two_size[8])
+
     out = {
         "n_snapshot": n_snap,
         "snapshot_kinds": {
@@ -182,6 +205,15 @@ def main() -> None:
         "speedup_vs_full_at_largest": round(
             full["wall_s"] / incr[big["n_store"]]["wall_s_median"], 2
         ),
+        "two_size_at_largest": {
+            "p2_wall_s": [r["wall_s"] for r in two_size[2]],
+            "p8_wall_s": [r["wall_s"] for r in two_size[8]],
+            "p2_cc_wall_s": [r.get("cc_wall_s") for r in two_size[2]],
+            "p8_cc_wall_s": [r.get("cc_wall_s") for r in two_size[8]],
+            "p2_probes": [r["probe_sec"] for r in two_size[2]],
+            "p8_probes": [r["probe_sec"] for r in two_size[8]],
+            "efficiency_2_to_8_median": round(med2 / med8 / 4, 3),
+        },
         "note": "incremental wall growth with store size is the band-index "
                 "aggregation only (no text-sized input); full re-dedup "
                 "rescans and re-bands every ingested doc",

@@ -899,3 +899,19 @@ def test_ivfpq_codes_partitioned_by_cell_prune(spark, tmp_path):
     # and the search itself still returns k ranked rows off the stored table
     rows = out.collect()
     assert len(rows) == 5 and [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == [1, 2, 3, 4, 5]
+
+
+def test_incremental_near_dedup_short_docs_kept(spark):
+    """Docs too short to produce any 3-gram shingle must come back
+    kept (no silent drop) — in both the corpus-hit and batch paths."""
+    from neuroner_spark.operators.dedup import incremental_near_dedup, minhash_banded
+
+    corpus = spark.createDataFrame([(0, BASE)], "doc_id long, text string")
+    batch = spark.createDataFrame(
+        [(10, "tiny"), (11, ""), (12, BASE)],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in incremental_near_dedup(batch, minhash_banded(corpus)).collect()}
+    assert len(out) == 3
+    assert out[10]["status"] == "kept" and out[11]["status"] == "kept"
+    assert out[12]["status"] == "dup_of_corpus" and out[12]["dup_of"] == 0
