@@ -55,10 +55,26 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, max_iter: int = MAX_ITER, iteration_log: list | None = None
+    edges: DataFrame,
+    max_iter: int = MAX_ITER,
+    iteration_log: list | None = None,
+    small_threshold: int = 100_000,
 ) -> DataFrame:
     """edges(src, dst) -> (node, component) with component = min node id
     reachable.  Driver loop with localCheckpoint-per-round.
+
+    ``small_threshold`` (r6): edge sets at or under this many DISTINCT
+    rows take a driver union-find fast path — the distinct frame is
+    materialized ONCE (the loop needed that anyway), probed with a
+    bounded ``limit().collect()`` off the cached blocks, and the whole
+    answer comes back as one ``createDataFrame`` instead of ~2 jobs
+    per star round plus a final join (measured: the CC rounds cost
+    ~4.7 s of driver-latency-bound small jobs at a 50k-doc snapshot
+    REGARDLESS of parallelism — the incremental-ingest floor).  Same
+    min-id semantics, exercised by the same oracle (the sf0.01
+    `connected_components` query rides this path; the 5M-doc corpus
+    runs stay on the distributed loop).  Pass ``small_threshold=0``
+    to force the loop.
 
     ``iteration_log`` (r6, r5 verdict #5): pass a list and each
     large-star/small-star round appends ``{"iter", "edges", "wall_sec"}``
@@ -66,18 +82,57 @@ def connected_components(
     a caller recording stage lineage can attribute run-to-run variance
     (the 5M-doc near_components stage swung 1.2-4x across r5 runs) to
     iterations vs the final node->component join (= stage wall minus
-    the logged rounds).
+    the logged rounds).  The driver path logs one entry with
+    ``mode='driver'``.
     """
     import time
-    cur = (
+
+    base = (
         edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
-        .filter(F.col("src") != F.col("dst"))
         .distinct()
         .localCheckpoint()
     )
+    if small_threshold:
+        t0 = time.time()
+        sample = base.limit(small_threshold + 1).collect()
+        if len(sample) <= small_threshold:
+            parent: dict[int, int] = {}
+
+            def find(x: int) -> int:
+                while parent.setdefault(x, x) != x:
+                    parent[x] = parent[parent[x]]
+                    x = parent[x]
+                return x
+
+            # attach the larger root under the smaller -> every root is
+            # its component's minimum (same invariant as the star loop)
+            for r in sample:
+                a, b = find(int(r["src"])), find(int(r["dst"]))
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+            rows = [(n, find(n)) for n in parent]
+            if iteration_log is not None:
+                iteration_log.append(
+                    {
+                        "iter": 0,
+                        "edges": len(sample),
+                        "wall_sec": round(time.time() - t0, 3),
+                        "mode": "driver",
+                    }
+                )
+            from pyspark.sql import types as T
+
+            schema = T.StructType(
+                [
+                    T.StructField("node", T.LongType(), False),
+                    T.StructField("component", T.LongType(), False),
+                ]
+            )
+            return edges.sparkSession.createDataFrame(rows, schema)
+    cur = base.filter(F.col("src") != F.col("dst"))
     singletons = (
-        edges.select(F.col("src").cast("long").alias("node"))
-        .union(edges.select(F.col("dst").cast("long").alias("node")))
+        base.select(F.col("src").alias("node"))
+        .union(base.select(F.col("dst").alias("node")))
         .distinct()
     )
     def _sig(df: DataFrame):

@@ -41,3 +41,28 @@ def test_canonical_map_distributed_fallback_matches_unionfind(spark):
         for r in canonical_map(aliases, small_threshold=0).collect()
     }
     assert fast == dist and len(fast) > 0
+
+
+def test_cc_driver_fast_path_matches_star_loop(spark):
+    """r6 small_threshold driver union-find vs the forced distributed
+    star loop: identical (node, component) output — including self
+    loops (node must still appear) and the min-root invariant."""
+    edges, golden = sameas_df(spark, n_clusters=40)
+    with_self = edges.union(
+        spark.createDataFrame([(999_999, 999_999)], "src long, dst long")
+    )
+    log_fast, log_dist = [], []
+    fast = {
+        (r["node"], r["component"])
+        for r in connected_components(with_self, iteration_log=log_fast).collect()
+    }
+    dist = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            with_self, iteration_log=log_dist, small_threshold=0
+        ).collect()
+    }
+    assert fast == dist and (999_999, 999_999) in fast
+    # the fast path really ran driver-side, the forced path really looped
+    assert len(log_fast) == 1 and log_fast[0].get("mode") == "driver"
+    assert len(log_dist) >= 1 and "mode" not in log_dist[0]
