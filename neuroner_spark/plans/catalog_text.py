@@ -709,3 +709,87 @@ FROM wstat w LEFT JOIN bstat b ON w.doc_id = b.doc_id
 """
 
 QUERIES["gopher_repetition"] = (q_gopher_repetition, SQL_GOPHER_REPETITION)
+
+
+# --- PII redaction (C4/Dolma-style anonymization gate; r6).  PII is
+# PLANTED deterministically from doc_id (the synthetic corpus has
+# none), with identical concat expressions on both sides, so the
+# oracle checks the REGEX ENGINES byte-for-byte: md5 of the redacted
+# text must agree between Spark's java.util.regex and DuckDB's RE2.
+# Email always; phone on even doc_ids; IPv4 on doc_id % 3 == 0.
+# Pure column exprs — one scan, zero shuffle, codegen'd.
+def q_pii_redaction(spark, sf_dir):
+    from neuroner_spark.functions.pii import pii_counts, redact_pii
+
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact"),
+            (did % 997).cast("string"),
+            F.lit("@example.com"),
+            F.when(
+                did % 2 == 0,
+                F.concat(
+                    F.lit(" tel ("),
+                    (did % 900 + 100).cast("string"),
+                    F.lit(") 555-"),
+                    F.lpad((did % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                did % 3 == 0,
+                F.concat(
+                    F.lit(" host 10."),
+                    (did % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 7) % 256).cast("string"),
+                    F.lit("."),
+                    ((did * 13) % 256).cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    red = redact_pii(F.col("text"))
+    return planted.select(
+        "doc_id",
+        *pii_counts(F.col("text")),
+        F.md5(red).alias("clean_md5"),
+        F.length(red).cast("long").alias("clean_len"),
+    )
+
+
+def _sql_pii_redaction() -> str:
+    from neuroner_spark.functions.pii import pii_sql_exprs
+
+    e = pii_sql_exprs("text")
+    return f"""
+WITH planted AS (
+  SELECT doc_id,
+         text || ' contact' || CAST(doc_id % 997 AS VARCHAR) || '@example.com'
+           || CASE WHEN doc_id % 2 = 0
+                   THEN ' tel (' || CAST(doc_id % 900 + 100 AS VARCHAR) || ') 555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' host 10.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                        || CAST((doc_id * 7) % 256 AS VARCHAR) || '.'
+                        || CAST((doc_id * 13) % 256 AS VARCHAR)
+                   ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       {e['n_email']} AS n_email,
+       {e['n_ip']} AS n_ip,
+       {e['n_phone']} AS n_phone,
+       md5({e['redacted']}) AS clean_md5,
+       CAST(length({e['redacted']}) AS BIGINT) AS clean_len
+FROM planted
+"""
+
+
+SQL_PII_REDACTION = _sql_pii_redaction()
+
+QUERIES["pii_redaction"] = (q_pii_redaction, SQL_PII_REDACTION)
