@@ -793,3 +793,54 @@ FROM planted
 SQL_PII_REDACTION = _sql_pii_redaction()
 
 QUERIES["pii_redaction"] = (q_pii_redaction, SQL_PII_REDACTION)
+
+
+# --- Corpus-trained bigram-LM perplexity (the CCNet/FineWeb quality
+# gate; r6).  The LM is trained ON THE SAME corpus inside the query —
+# two groupBy count tables + two equi-joins, no model file, no UDF —
+# so the whole thing is one SQL program the oracle can replay.  Both
+# sides compute -ln(p)/ln(2) (NOT log2()) so the engines run the same
+# libm call sequence; scores round to 4 decimals before the hash and
+# ppl derives from the ROUNDED bits, putting the ulp-level libm /
+# summation-order noise ~10 orders of magnitude below the comparison
+# precision.  Full vocab here (500 docs at sf0.01); the web-scale
+# ``vocab_limit`` top-K knob is exercised by tests/test_quality_lm.py
+# against an independent Python reference.
+def q_lm_perplexity(spark, sf_dir):
+    from neuroner_spark.operators.quality_lm import bigram_lm_scores
+
+    return bigram_lm_scores(_docs(spark, sf_dir), alpha=0.5)
+
+
+SQL_LM_PERPLEXITY = """
+WITH toks AS (
+  SELECT doc_id, t.tok, t.pos
+  FROM documents,
+       LATERAL (SELECT unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1) AS pos) t
+),
+pairs AS (
+  SELECT a.doc_id, a.tok AS prev, b.tok AS tok
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+v AS (SELECT CAST(COUNT(DISTINCT tok) AS DOUBLE) AS V FROM toks),
+hist AS (SELECT prev, COUNT(*) AS ch FROM pairs GROUP BY prev),
+big  AS (SELECT prev, tok, COUNT(*) AS cb FROM pairs GROUP BY prev, tok),
+per AS (
+  SELECT p.doc_id, COUNT(*) AS nb,
+         ROUND(AVG(-ln((cb + 0.5) / (ch + 0.5 * V)) / ln(2.0)), 4) AS bits
+  FROM pairs p
+  JOIN big  USING (prev, tok)
+  JOIN hist USING (prev)
+  CROSS JOIN v
+  GROUP BY p.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(nb, 0) AS n_bigrams,
+       bits AS avg_nll_bits,
+       ROUND(POW(2.0, bits), 2) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN per USING (doc_id)
+"""
+
+QUERIES["lm_perplexity"] = (q_lm_perplexity, SQL_LM_PERPLEXITY)

@@ -418,6 +418,101 @@ def run_corpus_prep(
     }
 
 
+def _snapshot_dirs(root: str, prefix: str) -> list[tuple[int, str]]:
+    """Sorted (id, path) for ``{root}/{prefix}=<id>`` partitions."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith(prefix + "="):
+            out.append((int(d.split("=")[1]), os.path.join(root, d)))
+    return sorted(out)
+
+
+def _band_store_inputs(store_dir: str, exclude_snapshot: int | None = None) -> list[str]:
+    """Paths representing the accumulated band index: the LATEST
+    compacted table plus raw snapshot partitions newer than it.  Raw
+    partitions <= the compaction watermark are skipped even when not
+    yet pruned — reading them too would be correct (the index agg is a
+    min, so covered rows are idempotent) but wasted IO."""
+    comps = _snapshot_dirs(os.path.join(store_dir, "compacted"), "upto")
+    watermark = comps[-1][0] if comps else -1
+    paths = [comps[-1][1]] if comps else []
+    for sid, p in _snapshot_dirs(os.path.join(store_dir, "bands"), "snapshot"):
+        if sid > watermark and sid != exclude_snapshot:
+            paths.append(p)
+    return paths
+
+
+def compact_band_store(
+    spark: SparkSession,
+    store_dir: str,
+    upto_snapshot_id: int | None = None,
+    prune: bool = False,
+) -> dict:
+    """Iceberg-style maintenance for the snapshot band store: fold the
+    raw per-doc band rows of snapshots <= ``upto_snapshot_id`` (default
+    all) into ONE representative row per (band_id, band_hash) — the
+    min-doc row, exactly what ``incremental_near_dedup``'s index agg
+    would produce — written to ``{store_dir}/compacted/upto=<k>``.
+
+    The compacted table keeps the RAW SCHEMA (doc_id, band_id,
+    band_hash), so readers union it with later raw snapshot partitions
+    unchanged: min(min(covered), tail) == min(all) — the fold is
+    associative, which is what makes background compaction safe to run
+    at any watermark.  Without it the per-snapshot index re-aggregation
+    reads O(total ingested band rows); after it, O(distinct band keys +
+    tail) — at 10^12 docs with hot boilerplate bands that is the
+    difference between rereading the crawl history and reading a
+    bounded dictionary.
+
+    Contract: compact only FINALIZED snapshots (a later retry-overwrite
+    of a covered snapshot would not be reflected).  Retry-idempotent:
+    the output overwrites its own ``upto=<k>`` partition.
+
+    ``prune=True`` deletes the covered raw band partitions and older
+    compacted tables (decisions partitions are never touched — they
+    are the audit record).  Returns {'upto', 'n_band_keys',
+    'n_raw_rows', 'n_pruned_dirs'}.
+    """
+    raw = _snapshot_dirs(os.path.join(store_dir, "bands"), "snapshot")
+    comps = _snapshot_dirs(os.path.join(store_dir, "compacted"), "upto")
+    watermark = comps[-1][0] if comps else -1
+    if upto_snapshot_id is None:
+        upto_snapshot_id = max([watermark] + [sid for sid, _ in raw])
+    inputs = ([comps[-1][1]] if comps else []) + [
+        p for sid, p in raw if watermark < sid <= upto_snapshot_id
+    ]
+    if not inputs:
+        return {"upto": upto_snapshot_id, "n_band_keys": 0, "n_raw_rows": 0, "n_pruned_dirs": 0}
+    covered = spark.read.parquet(*inputs)
+    n_raw = covered.count()
+    compacted = covered.groupBy("band_id", "band_hash").agg(
+        F.min("doc_id").alias("doc_id")
+    ).select("doc_id", "band_id", "band_hash")
+    out_dir = os.path.join(store_dir, "compacted", f"upto={upto_snapshot_id}")
+    compacted.write.mode("overwrite").parquet(out_dir)
+    n_keys = spark.read.parquet(out_dir).count()
+    n_pruned = 0
+    if prune:
+        import shutil
+
+        for sid, p in raw:
+            if sid <= upto_snapshot_id:
+                shutil.rmtree(p)
+                n_pruned += 1
+        for up, p in comps:
+            if up < upto_snapshot_id:
+                shutil.rmtree(p)
+                n_pruned += 1
+    return {
+        "upto": upto_snapshot_id,
+        "n_band_keys": n_keys,
+        "n_raw_rows": n_raw,
+        "n_pruned_dirs": n_pruned,
+    }
+
+
 def run_incremental_snapshot(
     spark: SparkSession,
     new_docs: DataFrame,
@@ -439,6 +534,9 @@ def run_incremental_snapshot(
     appends, like every sink here):
       {store_dir}/bands/snapshot=<k>/      (doc_id, band_id, band_hash)
       {store_dir}/decisions/snapshot=<k>/  (doc_id, status, dup_of)
+      {store_dir}/compacted/upto=<k>/      (doc_id, band_id, band_hash)
+                                           one row per band key — see
+                                           ``compact_band_store``
 
     Both writes OVERWRITE their own snapshot partition — a retried
     snapshot replaces itself, never duplicates (the same idempotence
@@ -452,21 +550,15 @@ def run_incremental_snapshot(
     reuse an id already ingested.
 
     Scale: one banded scan of the snapshot, one equi-join against the
-    band index (aggregated from the store — at 10^12 ingested docs
-    maintain the index as a compacted keyed table instead of
-    re-aggregating raw bands), components over the snapshot's
+    band index (latest ``compact_band_store`` table + the raw
+    snapshot partitions after it), components over the snapshot's
     survivors only.  New snapshots never rescan old text."""
     from neuroner_spark.operators.dedup import incremental_near_dedup, minhash_banded
 
     bands_root = os.path.join(store_dir, "bands")
-    existing_snaps = (
-        sorted(d for d in os.listdir(bands_root) if d.startswith("snapshot="))
-        if os.path.isdir(bands_root)
-        else []
-    )
-    prior = [d for d in existing_snaps if int(d.split("=")[1]) != snapshot_id]
-    if prior:
-        corpus_banded = spark.read.parquet(*[os.path.join(bands_root, d) for d in prior])
+    prior_paths = _band_store_inputs(store_dir, exclude_snapshot=snapshot_id)
+    if prior_paths:
+        corpus_banded = spark.read.parquet(*prior_paths)
     else:
         corpus_banded = spark.createDataFrame(
             [], "doc_id long, band_id int, band_hash long"

@@ -220,6 +220,7 @@ def triples_from_linked(
     canon: DataFrame,
     pages_meta: DataFrame,
     max_entities_per_doc: int = MAX_ENTITIES_PER_DOC,
+    pinned: list | None = None,
 ) -> DataFrame:
     """linked mentions -> (subj, pred, obj, url, warc_ts) distinct.
 
@@ -228,16 +229,26 @@ def triples_from_linked(
     entities would emit 5x10^7 pairs on ONE doc_id shuffle key. Docs
     above ``max_entities_per_doc`` are excluded from co-occurrence
     pairing (their same_sentence/near triples — bounded by sentence
-    length — are kept); ``co_occurrence_capped_docs`` lists them."""
-    m = (
-        linked.join(F.broadcast(canon), "entity_id")
-        .select("doc_id", "sent_id", "pos", F.col("canonical_id").alias("ent"))
-        # this frame is branched 4x below (sentence pairs a/b, doc sets
-        # a/b); without materialization every branch re-executes the
-        # whole upstream (tokenize -> match -> link — or the tagger) —
-        # at 100 TB that is the single worst plan mistake available
-        .localCheckpoint()
+    length — are kept); ``co_occurrence_capped_docs`` lists them.
+
+    ``pinned``: a LONG-LIVED caller (the streaming pipeline, once per
+    micro-batch) must pass its release list — the branched frame is
+    then persist()ed and appended so the caller can unpersist it after
+    the batch's writes; the default localCheckpoint pins blocks with
+    NO releasable handle (the r5 streaming-leak class) and is only
+    safe for run-once batch jobs."""
+    m = linked.join(F.broadcast(canon), "entity_id").select(
+        "doc_id", "sent_id", "pos", F.col("canonical_id").alias("ent")
     )
+    # this frame is branched 4x below (sentence pairs a/b, doc sets
+    # a/b); without materialization every branch re-executes the
+    # whole upstream (tokenize -> match -> link — or the tagger) —
+    # at 100 TB that is the single worst plan mistake available
+    if pinned is not None:
+        m = m.persist()
+        pinned.append(m)
+    else:
+        m = m.localCheckpoint()
     a = m.select("doc_id", "sent_id", F.col("pos").alias("pos_a"), F.col("ent").alias("subj"))
     b = m.select("doc_id", "sent_id", F.col("pos").alias("pos_b"), F.col("ent").alias("obj"))
     sent_pairs = a.join(b, ["doc_id", "sent_id"]).filter(F.col("subj") < F.col("obj"))

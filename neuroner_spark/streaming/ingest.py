@@ -224,7 +224,10 @@ def run_streaming_pipeline(
             mentions = match_mentions(tokens, alias_dict)
         linked = link_mentions(mentions, alias_dict, use_fuzzy=False)
         meta = norm.select(F.col("doc_id").alias("url"), "warc_ts")
-        triples = triples_from_linked(linked, canon, meta)
+        # pinned= threads the branched mention frame into this batch's
+        # release list — triples_from_linked's default localCheckpoint
+        # would pin one unreleasable RDD PER MICRO-BATCH
+        triples = triples_from_linked(linked, canon, meta, pinned=pinned)
         # deterministic per-batch path + overwrite = retry-idempotent
         triples.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")

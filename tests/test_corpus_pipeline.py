@@ -414,3 +414,86 @@ def test_incremental_snapshot_store(spark, tmp_path):
     r2 = run_incremental_snapshot(spark, snap2, store, snapshot_id=2)
     d2 = r2["decisions"].collect()[0]
     assert d2["status"] == "dup_of_corpus" and d2["dup_of"] == 11
+
+
+def test_band_store_compaction(spark, tmp_path):
+    """Compaction parity: folding snapshots into the keyed table (with
+    raw partitions pruned) leaves every later decision identical —
+    min(min(covered), tail) == min(all).  Re-compaction at a higher
+    watermark merges the existing compacted table with the raw tail."""
+    from neuroner_spark.plans.corpus_pipeline import (
+        _band_store_inputs,
+        compact_band_store,
+        run_incremental_snapshot,
+    )
+
+    base = (
+        "the quick brown fox jumps over the lazy dog while the merge sort "
+        "algorithm scans the big table and the hash join builds its side"
+    )
+    other = "some totally unrelated page about streaming state"
+    fresh = "fresh never-seen content about inverted file probes"
+    snap0 = [(1, base), (2, other)]
+    snap1 = [(10, fresh), (11, fresh)]  # 11 -> dup_of_batch of 10
+    probe = [(20, base), (21, fresh), (22, "never seen anywhere zxqv")]
+
+    def build(store, compact_after=None, prune=False):
+        for sid, rows in enumerate([snap0, snap1]):
+            run_incremental_snapshot(
+                spark,
+                spark.createDataFrame(rows, "doc_id long, text string"),
+                store,
+                snapshot_id=sid,
+            )
+            if compact_after == sid:
+                info = compact_band_store(spark, store, prune=prune)
+                assert info["upto"] == sid
+                assert info["n_band_keys"] <= info["n_raw_rows"]
+        r = run_incremental_snapshot(
+            spark,
+            spark.createDataFrame(probe, "doc_id long, text string"),
+            store,
+            snapshot_id=9,
+        )
+        return {x["doc_id"]: (x["status"], x["dup_of"]) for x in r["decisions"].collect()}
+
+    want = build(str(tmp_path / "plain"))
+    assert want[20] == ("dup_of_corpus", 1) and want[21] == ("dup_of_corpus", 10)
+    assert want[22][0] == "kept"
+    # compact mid-stream (covered + raw tail union), no prune
+    assert build(str(tmp_path / "mid"), compact_after=0) == want
+    # compact everything, prune raw partitions — index survives alone
+    store_all = str(tmp_path / "all")
+    assert build(store_all, compact_after=1, prune=True) == want
+    import os
+
+    raw_left = [d for d in os.listdir(f"{store_all}/bands") if d != "snapshot=9"]
+    assert raw_left == []  # covered raw partitions gone
+    # decisions audit record untouched by prune
+    assert len(os.listdir(f"{store_all}/decisions")) == 3
+
+
+def test_band_store_recompaction_idempotent(spark, tmp_path):
+    from neuroner_spark.plans.corpus_pipeline import (
+        _band_store_inputs,
+        compact_band_store,
+        run_incremental_snapshot,
+    )
+
+    store = str(tmp_path / "store")
+    rows = [(1, "alpha beta gamma delta epsilon zeta eta theta iota kappa")]
+    run_incremental_snapshot(
+        spark,
+        spark.createDataFrame(rows, "doc_id long, text string"),
+        store,
+        snapshot_id=0,
+    )
+    a = compact_band_store(spark, store)
+    b = compact_band_store(spark, store)  # retry at same watermark
+    assert a["upto"] == b["upto"] == 0
+    assert a["n_band_keys"] == b["n_band_keys"]
+    # reader sees exactly one input (the compacted table), raw skipped
+    paths = _band_store_inputs(store)
+    assert len(paths) == 1 and "compacted" in paths[0]
+    got = spark.read.parquet(paths[0])
+    assert got.count() == got.select("band_id", "band_hash").distinct().count()
