@@ -224,14 +224,14 @@ def q_neural_tag_spans(spark, sf_dir):
 # WITH RECURSIVE must head the statement for the closure CTE below
 SQL_KG_TRIPLES = _ngram_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
 , cands AS (
-  SELECT m.doc_id, m.sent_id, m.pos, m.surface_norm, a.entity_id, a.prior
+  SELECT m.doc_id, m.sent_id, m.pos, m.n, m.surface_norm, a.entity_id, a.prior
   FROM mentions m JOIN alias_dict a ON m.surface_norm = a.alias_norm
 ), support AS (
   SELECT doc_id, entity_id, count(DISTINCT surface_norm) AS n_surfaces
   FROM cands GROUP BY doc_id, entity_id
 ), best AS (
-  SELECT doc_id, sent_id, pos, entity_id FROM (
-    SELECT c.doc_id, c.sent_id, c.pos, c.entity_id,
+  SELECT doc_id, sent_id, pos, n, entity_id FROM (
+    SELECT c.doc_id, c.sent_id, c.pos, c.n, c.entity_id,
            row_number() OVER (PARTITION BY c.doc_id, c.sent_id, c.pos
              ORDER BY c.prior * (1.0 + (s.n_surfaces - 1) * 0.5) DESC, c.entity_id ASC) AS rn
     FROM cands c JOIN support s ON c.doc_id = s.doc_id AND c.entity_id = s.entity_id
@@ -252,11 +252,28 @@ SQL_KG_TRIPLES = _ngram_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
   LEFT JOIN (SELECT node, min(r) AS component FROM reach GROUP BY node) c
     ON a.entity_id = c.node
 ), m AS (
-  SELECT b.doc_id, b.sent_id, b.pos, CAST(cn.canonical_id AS BIGINT) AS ent
+  SELECT b.doc_id, b.sent_id, b.pos, b.n, CAST(cn.canonical_id AS BIGINT) AS ent
   FROM best b JOIN canon cn ON b.entity_id = cn.entity_id
 ), sent_pairs AS (
   SELECT x.doc_id, x.pos AS pos_a, y.pos AS pos_b, x.ent AS subj, y.ent AS obj
   FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.sent_id = y.sent_id AND x.ent < y.ent
+), verbs AS (  -- lexicon-filtered token stream (kg_pipeline.DEFAULT_VERB_LEXICON)
+  SELECT doc_id, sent_id, pos AS vpos, lower(token) AS vtok
+  FROM labeled
+  WHERE lower(token) IN ('agg', 'batch', 'filter', 'group', 'order', 'plan', 'query')
+), vpairs AS (  -- DIRECTED: subj = left mention, obj starts <= gap after it ends
+  SELECT x.doc_id, x.sent_id, x.pos AS pos_a, x.pos + x.n AS end_a,
+         y.pos AS pos_b, x.ent AS subj, y.ent AS obj
+  FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.sent_id = y.sent_id
+   AND y.pos >= x.pos + x.n AND y.pos - (x.pos + x.n) <= 8 AND x.ent <> y.ent
+), vtrip AS (  -- pred = the lexicon verb nearest the subject, strictly between
+  SELECT DISTINCT doc_id, subj, vtok AS pred, obj FROM (
+    SELECT p.doc_id, p.subj, p.obj, v.vtok,
+           row_number() OVER (PARTITION BY p.doc_id, p.sent_id, p.pos_a, p.pos_b
+                              ORDER BY v.vpos) AS rn
+    FROM vpairs p JOIN verbs v ON p.doc_id = v.doc_id AND p.sent_id = v.sent_id
+     AND v.vpos >= p.end_a AND v.vpos < p.pos_b
+  ) WHERE rn = 1
 ), trip AS (
   SELECT DISTINCT doc_id, subj, obj, 'same_sentence_as' AS pred FROM sent_pairs
   UNION ALL
@@ -266,14 +283,21 @@ SQL_KG_TRIPLES = _ngram_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
   FROM (SELECT DISTINCT doc_id, subj FROM (SELECT doc_id, ent AS subj FROM m)) x
   JOIN (SELECT DISTINCT doc_id, obj FROM (SELECT doc_id, ent AS obj FROM m)) y
     ON x.doc_id = y.doc_id AND x.subj < y.obj
+  UNION ALL
+  SELECT doc_id, subj, obj, pred FROM vtrip
 )
 SELECT subj, pred, obj, doc_id AS url FROM trip
 """
 
 
 def q_kg_triples(spark, sf_dir):
-    """Full gazetteer KG pipeline over documents -> distinct triples."""
-    from neuroner_spark.plans.kg_pipeline import canonical_map, triples_from_linked
+    """Full gazetteer KG pipeline over documents -> distinct triples,
+    incl. the r6 verb-mediated predicate family (DEFAULT_VERB_LEXICON)."""
+    from neuroner_spark.plans.kg_pipeline import (
+        DEFAULT_VERB_LEXICON,
+        canonical_map,
+        triples_from_linked,
+    )
 
     aliases = _aliases(spark)
     tokens = _mention_tokens(spark, sf_dir)
@@ -284,7 +308,9 @@ def q_kg_triples(spark, sf_dir):
         F.col("doc_id").cast("string").alias("url"),
         F.lit(None).cast("timestamp").alias("warc_ts"),
     )
-    return triples_from_linked(linked, canon, docs).select("subj", "pred", "obj", "url")
+    return triples_from_linked(
+        linked, canon, docs, verb_lexicon=DEFAULT_VERB_LEXICON, tokens=tokens
+    ).select("subj", "pred", "obj", "url")
 
 
 QUERIES = {

@@ -23,6 +23,12 @@ Triple predicates (deterministic, FIXTURES.md §4):
   near              same sentence and |pos_a - pos_b| <= 5
   co_occurs_with    same document
 subj < obj on canonical ids (symmetric predicates stored once).
+
+Verb-mediated predicates (opt-in, ``verb_lexicon=``): OpenIE-lite
+(subj, VERB, obj) where a lexicon verb token lies strictly between an
+ordered mention pair in one sentence — DIRECTED (subject is the left
+mention), pred = the verb nearest the subject, mention gap bounded by
+``verb_max_gap``.  See ``verb_triples_from_mentions``.
 """
 
 from __future__ import annotations
@@ -46,6 +52,18 @@ NEAR_WINDOW = 5
 # real page's distinct-entity count, so it only trips on pathological
 # directory/spam pages (the skew killers at crawl scale)
 MAX_ENTITIES_PER_DOC = 10_000
+
+# Pinned relation-verb lexicon for the OpenIE-lite predicate family
+# over the fixture/testdata vocabulary.  Deliberately DISJOINT from
+# the alias dictionary's unigrams and bigram components ('scan',
+# 'join', 'sort', 'merge', 'stream', ... are entity surfaces there) so
+# a token is never both a mention and a predicate.  In production this
+# is a real verb lexicon (or a POS gate) broadcast the same way.
+DEFAULT_VERB_LEXICON = ["agg", "batch", "filter", "group", "order", "plan", "query"]
+# bound on tokens between the two mentions: relations rarely span more
+# (and the bound keeps the per-sentence pair fan-out linear-ish even
+# on entity-dense directory pages)
+VERB_MAX_GAP = 8
 
 
 def _manifest_path(out_dir: str, stage: str) -> str:
@@ -215,12 +233,76 @@ def co_occurrence_capped_docs(
     )
 
 
+def verb_triples_from_mentions(
+    m: DataFrame,
+    tokens: DataFrame,
+    verb_lexicon: list[str],
+    verb_max_gap: int = VERB_MAX_GAP,
+) -> DataFrame:
+    """OpenIE-lite verb-mediated triples from canonicalized mentions.
+
+    ``m``: (doc_id, sent_id, pos, n, ent) — one row per linked mention,
+    pos = first token index in the sentence, n = span width in tokens.
+    Emits DIRECTED (doc_id, subj, pred, obj): subj is the LEFT mention,
+    obj a mention starting at most ``verb_max_gap`` tokens after the
+    subject span ends, pred = the lexicon verb token nearest the
+    subject strictly between the two spans.  Distinct per doc.
+
+    Plan shape at 10^12 pages:
+      - the verb stream is the token scan FILTERED BY THE LEXICON
+        before any join (an ``isin`` over a pinned list — selectivity
+        ~|lexicon|/|vocab|, so only a sliver of the corpus's tokens
+        ever reaches a shuffle);
+      - both joins are equi-joins on (doc_id, sent_id) — the SAME key
+        the sentence-pair predicates already shuffle on, so AQE/reuse
+        co-locates them; the range conditions are post-join filters
+        over sentence-bounded groups;
+      - pair fan-out is bounded by ``verb_max_gap`` (an entity-dense
+        page pairs each mention with O(gap) successors, not O(n));
+      - first-verb selection is ``min_by`` inside one aggregation on
+        the join key prefix — no window, no second shuffle.
+    """
+    a = m.select(
+        "doc_id",
+        "sent_id",
+        F.col("pos").alias("pos_a"),
+        (F.col("pos") + F.col("n")).alias("end_a"),
+        F.col("ent").alias("subj"),
+    )
+    b = m.select(
+        "doc_id", "sent_id", F.col("pos").alias("pos_b"), F.col("ent").alias("obj")
+    )
+    pairs = a.join(b, ["doc_id", "sent_id"]).filter(
+        (F.col("pos_b") >= F.col("end_a"))
+        & (F.col("pos_b") - F.col("end_a") <= verb_max_gap)
+        & (F.col("subj") != F.col("obj"))
+    )
+    verbs = tokens.filter(F.lower(F.col("token")).isin(verb_lexicon)).select(
+        "doc_id",
+        "sent_id",
+        F.col("pos").alias("vpos"),
+        F.lower(F.col("token")).alias("vtok"),
+    )
+    between = pairs.join(verbs, ["doc_id", "sent_id"]).filter(
+        (F.col("vpos") >= F.col("end_a")) & (F.col("vpos") < F.col("pos_b"))
+    )
+    return (
+        between.groupBy("doc_id", "sent_id", "pos_a", "pos_b", "subj", "obj")
+        .agg(F.min_by("vtok", "vpos").alias("pred"))
+        .select("doc_id", "subj", "pred", "obj")
+        .distinct()
+    )
+
+
 def triples_from_linked(
     linked: DataFrame,
     canon: DataFrame,
     pages_meta: DataFrame,
     max_entities_per_doc: int = MAX_ENTITIES_PER_DOC,
     pinned: list | None = None,
+    verb_lexicon: list[str] | None = None,
+    tokens: DataFrame | None = None,
+    verb_max_gap: int = VERB_MAX_GAP,
 ) -> DataFrame:
     """linked mentions -> (subj, pred, obj, url, warc_ts) distinct.
 
@@ -236,9 +318,15 @@ def triples_from_linked(
     then persist()ed and appended so the caller can unpersist it after
     the batch's writes; the default localCheckpoint pins blocks with
     NO releasable handle (the r5 streaming-leak class) and is only
-    safe for run-once batch jobs."""
+    safe for run-once batch jobs.
+
+    ``verb_lexicon`` + ``tokens``: adds the DIRECTED verb-mediated
+    predicate family (``verb_triples_from_mentions``) to the output —
+    the verb branch reads the SAME materialized mention frame the
+    positional branches do, plus one lexicon-filtered pass over the
+    token stream."""
     m = linked.join(F.broadcast(canon), "entity_id").select(
-        "doc_id", "sent_id", "pos", F.col("canonical_id").alias("ent")
+        "doc_id", "sent_id", "pos", "n", F.col("canonical_id").alias("ent")
     )
     # this frame is branched 4x below (sentence pairs a/b, doc sets
     # a/b); without materialization every branch re-executes the
@@ -295,6 +383,12 @@ def triples_from_linked(
         .withColumn("pred", F.lit("co_occurs_with"))
     )
     trip = sent_preds.unionByName(co_doc)
+    if verb_lexicon is not None:
+        if tokens is None:
+            raise ValueError("verb_lexicon requires the tokens frame")
+        trip = trip.unionByName(
+            verb_triples_from_mentions(m, tokens, verb_lexicon, verb_max_gap)
+        )
     meta = pages_meta.select(F.col("url").alias("doc_id"), "warc_ts")
     return trip.join(meta, "doc_id").select(
         "subj", "pred", "obj", F.col("doc_id").alias("url"), "warc_ts"
@@ -337,6 +431,8 @@ def run_pipeline(
     validate: bool = False,
     max_entities_per_doc: int = MAX_ENTITIES_PER_DOC,
     tokenizer: str = "regex",
+    verb_lexicon: list[str] | None = None,
+    verb_max_gap: int = VERB_MAX_GAP,
 ) -> dict:
     """Run all stages with checkpoint/resume; returns
     {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
@@ -345,6 +441,9 @@ def run_pipeline(
     'neural' (D1 BiLSTM-CRF tagger; requires ``bundle``).
     validate: P5 BIOES gate on the neural tagger's output (hard-fail
     on ill-formed label sequences, reference P4-style).
+    verb_lexicon: opt-in OpenIE-lite verb-predicate family (see
+    ``verb_triples_from_mentions``); changes the triples stage
+    fingerprint, so toggling it invalidates the checkpoint.
     """
     os.makedirs(out_dir, exist_ok=True)
     lineage: list[dict] = []
@@ -393,14 +492,22 @@ def run_pipeline(
         "linked", fp_linked, lambda: link_mentions(mentions, alias_dict, use_fuzzy=use_fuzzy)
     )
     canon = stage("canonical", fp_alias + "|cc", lambda: canonical_map(alias_dict))
+    fp_verbs = (
+        f":verbs={','.join(sorted(verb_lexicon))}:gap={verb_max_gap}"
+        if verb_lexicon is not None
+        else ""
+    )
     triples = stage(
         "triples",
-        fp_linked + f"|triples:w={NEAR_WINDOW}:cap={max_entities_per_doc}",
+        fp_linked + f"|triples:w={NEAR_WINDOW}:cap={max_entities_per_doc}" + fp_verbs,
         lambda: triples_from_linked(
             linked,
             canon,
             norm.select(F.col("doc_id").alias("url"), "warc_ts"),
             max_entities_per_doc=max_entities_per_doc,
+            verb_lexicon=verb_lexicon,
+            tokens=tokens,
+            verb_max_gap=verb_max_gap,
         ),
     )
     # skew-cap audit trail: docs excluded from co_occurs_with pairing,

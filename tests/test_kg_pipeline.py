@@ -298,3 +298,90 @@ def test_neural_pipeline_hashed_vocab_bundle(spark, tmp_path):
         mention_source="neural", bundle=bundle,
     )
     assert all(m.get("resumed") for m in res2["lineage"])
+
+
+def test_verb_triples_semantics(spark):
+    """OpenIE-lite contract (r6): DIRECTED subj->obj, pred = lexicon
+    verb nearest the subject strictly between the spans, mention gap
+    bounded, identical canonical ids never pair."""
+    from neuroner_spark.plans.kg_pipeline import (
+        DEFAULT_VERB_LEXICON,
+        verb_triples_from_mentions,
+    )
+
+    # sentence: Alder Analytics group the Birch Systems filter Cedar Works
+    #           0     1         2     3   4     5       6      7     8
+    toks = [
+        "Alder", "Analytics", "group", "the", "Birch", "Systems",
+        "filter", "Cedar", "Works",
+    ]
+    tokens = spark.createDataFrame(
+        [("d1", 0, i, t) for i, t in enumerate(toks)],
+        "doc_id string, sent_id int, pos int, token string",
+    )
+    m = spark.createDataFrame(
+        [("d1", 0, 0, 2, 1), ("d1", 0, 4, 2, 2), ("d1", 0, 7, 2, 3)],
+        "doc_id string, sent_id int, pos int, n int, ent long",
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in verb_triples_from_mentions(m, tokens, DEFAULT_VERB_LEXICON).collect()
+    }
+    assert got == {
+        (1, "group", 2),   # 'group' at pos 2, between spans [0,2) and [4,6)
+        (1, "group", 3),   # nearest-subject rule: 'group' beats 'filter'
+        (2, "filter", 3),  # 'filter' at pos 6, between [4,6) and [7,9)
+    }
+    # direction: no obj->subj mirror
+    assert (2, "group", 1) not in got and (3, "filter", 2) not in got
+
+    # gap bound: same sentence, mentions 10 tokens apart -> dropped
+    far_tokens = spark.createDataFrame(
+        [("d2", 0, i, "filter" if i == 3 else "x") for i in range(15)],
+        "doc_id string, sent_id int, pos int, token string",
+    )
+    far_m = spark.createDataFrame(
+        [("d2", 0, 0, 1, 1), ("d2", 0, 12, 1, 2)],
+        "doc_id string, sent_id int, pos int, n int, ent long",
+    )
+    assert (
+        verb_triples_from_mentions(far_m, far_tokens, DEFAULT_VERB_LEXICON).count() == 0
+    )
+    # same canonical id on both sides never pairs (coref repeats)
+    self_m = spark.createDataFrame(
+        [("d2", 0, 0, 1, 1), ("d2", 0, 5, 1, 1)],
+        "doc_id string, sent_id int, pos int, n int, ent long",
+    )
+    assert (
+        verb_triples_from_mentions(self_m, far_tokens, DEFAULT_VERB_LEXICON).count() == 0
+    )
+    # no lexicon verb between -> no triple (adjacent mentions)
+    adj_m = spark.createDataFrame(
+        [("d2", 0, 0, 1, 1), ("d2", 0, 1, 1, 2)],
+        "doc_id string, sent_id int, pos int, n int, ent long",
+    )
+    assert (
+        verb_triples_from_mentions(adj_m, far_tokens, DEFAULT_VERB_LEXICON).count() == 0
+    )
+
+
+def test_pipeline_verb_lexicon_fingerprint(spark, tmp_path):
+    """Toggling verb_lexicon invalidates ONLY the triples stage
+    (fingerprint change); the verb-on run emits lexicon preds."""
+    from neuroner_spark.plans.kg_pipeline import DEFAULT_VERB_LEXICON
+
+    pages = pages_df(spark, 60)
+    out = str(tmp_path / "verb_out")
+    run_pipeline(spark, pages, alias_df(spark), out, resume=True)
+    res2 = run_pipeline(
+        spark, pages, alias_df(spark), out, resume=True,
+        verb_lexicon=DEFAULT_VERB_LEXICON,
+    )
+    by = {m["stage"]: m for m in res2["lineage"]}
+    assert by["tokens"].get("resumed") and by["linked"].get("resumed")
+    assert not by["triples"].get("resumed")  # fingerprint changed
+    preds = {
+        r["pred"] for r in res2["triples"].select("pred").distinct().collect()
+    }
+    assert preds & set(DEFAULT_VERB_LEXICON), preds
+    assert {"same_sentence_as", "co_occurs_with"} <= preds
