@@ -165,3 +165,89 @@ def connected_components(
         singletons.join(comp, "node", "left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+def merge_canonical_snapshots(prior: DataFrame, edges: DataFrame) -> dict:
+    """Incremental canonicalization with STABLE ids (r6): fold a new
+    snapshot's same-as evidence into a previously issued
+    entity -> canonical mapping without re-deriving ids from scratch.
+
+    prior: (entity_id, canonical_id) — the mapping issued by earlier
+    snapshots (roots map to themselves; this is exactly the shape
+    ``canonical_map`` / this function emit).
+    edges: (src, dst) — new same-as evidence on entity ids.
+
+    Returns {'mapping', 'superseded'}:
+      mapping    (entity_id, canonical_id) over every entity seen in
+                 prior or edges.  Stability rule: each component is
+                 labeled by the SMALLEST PREVIOUSLY ISSUED canonical id
+                 among its members — an id, once issued, keeps meaning
+                 the same (possibly grown) entity; only components
+                 containing no prior id get a fresh label (their min
+                 entity id, the same convention canonical_map uses).
+      superseded (old_canonical_id, canonical_id) — prior ids folded
+                 into an older id when new evidence merged two issued
+                 components.  The audit/rewrite table: downstream
+                 triple/entity tables re-key by joining this (tiny)
+                 frame instead of being rebuilt.
+
+    Oldest-id-wins makes the WINNER history-independent: whatever
+    order merges arrive in, a set of issued components that ends up
+    connected is always labeled by the minimum id ever issued among
+    them (min is commutative over the issued set).  Incremental labels
+    deliberately DIFFER from a from-scratch re-derivation when a
+    lower-numbered entity joins later — keeping the issued id is the
+    point (stability for downstream consumers); the superseded table
+    is the reconciliation record for the cases where an issued id does
+    retire.
+
+    Scale shape at 10^9 entities: the new edges' endpoints are first
+    REWRITTEN through the issued mapping (two equi-joins against the
+    keyed store), so connected components runs over a graph
+    proportional to the NEW EVIDENCE only — never the store.  The
+    store-sized work is exactly one left equi-join (relabel prior
+    through the delta) plus one anti-join (admit new entities); both
+    key on the mapping's own layout, so with the store bucketed by
+    entity_id/canonical_id neither shuffles the store.  ``superseded``
+    falls out of the delta (tiny) for free.
+    """
+    p = prior.select(
+        F.col("entity_id").cast("long").alias("entity_id"),
+        F.col("canonical_id").cast("long").alias("canonical_id"),
+    )
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    # endpoint rewrite: an edge touching an issued component enters CC
+    # as that component's canonical id; unknown (new) ids pass through
+    for side in ("src", "dst"):
+        e = (
+            e.join(
+                p.select(
+                    F.col("entity_id").alias(side),
+                    F.col("canonical_id").alias("_c"),
+                ),
+                side,
+                "left",
+            )
+            .withColumn(side, F.coalesce("_c", F.col(side)))
+            .drop("_c")
+        )
+    cc = connected_components(e)  # nodes: issued canonicals + new ids
+    issued = p.select(F.col("canonical_id").alias("node")).distinct()
+    labeled = cc.join(issued.withColumn("_issued", F.lit(True)), "node", "left")
+    comp_label = labeled.groupBy("component").agg(
+        F.min(F.when(F.col("_issued"), F.col("node"))).alias("_prior_min"),
+        F.min("node").alias("_node_min"),
+    ).select("component", F.coalesce("_prior_min", "_node_min").alias("_label"))
+    delta = labeled.join(comp_label, "component").select("node", "_issued", "_label")
+    relabeled = (
+        p.join(delta.select(F.col("node").alias("canonical_id"), "_label"), "canonical_id", "left")
+        .select("entity_id", F.coalesce("_label", F.col("canonical_id")).alias("canonical_id"))
+    )
+    new_rows = delta.join(
+        p.select("entity_id"), delta.node == F.col("entity_id"), "left_anti"
+    ).select(F.col("node").alias("entity_id"), F.col("_label").alias("canonical_id"))
+    mapping = relabeled.unionByName(new_rows)
+    superseded = delta.filter(
+        F.col("_issued") & (F.col("node") != F.col("_label"))
+    ).select(F.col("node").alias("old_canonical_id"), F.col("_label").alias("canonical_id"))
+    return {"mapping": mapping, "superseded": superseded}

@@ -536,3 +536,66 @@ def run_pipeline(
         "co_occurs_capped": capped,
         "lineage": lineage,
     }
+
+
+def run_incremental_canonical(
+    spark: SparkSession,
+    new_edges: DataFrame,
+    store_dir: str,
+    snapshot_id: int,
+) -> dict:
+    """Incremental entity-canonicalization store (r6): fold one crawl
+    snapshot's same-as evidence into the issued id space via
+    ``merge_canonical_snapshots`` and persist the result — the entity-
+    table sibling of ``run_incremental_snapshot``'s band store.
+
+    Layout (each write OVERWRITES its own snapshot partition, so a
+    retried snapshot replaces itself — the same idempotence contract
+    as the dedup store; in production these are Iceberg partitions):
+      {store_dir}/mapping/snapshot=<k>/     (entity_id, canonical_id)
+                                            COMPLETE issued mapping
+      {store_dir}/superseded/snapshot=<k>/  (old_canonical_id,
+                                            canonical_id) — this
+                                            snapshot's retirements;
+                                            the append-only audit
+                                            record downstream triple
+                                            tables re-key by
+
+    Prior = the latest mapping partition with id < snapshot_id (each
+    partition is complete, so the reader never unions history).  At
+    10^9 entities the mapping is one keyed table; CC runs over the new
+    edges only (see the operator's scale note).
+
+    Returns {'mapping', 'superseded', 'n_entities', 'n_superseded'}.
+    """
+    from neuroner_spark.operators.components import merge_canonical_snapshots
+
+    map_root = os.path.join(store_dir, "mapping")
+    prior_snaps = (
+        sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(map_root)
+            if d.startswith("snapshot=") and int(d.split("=")[1]) < snapshot_id
+        )
+        if os.path.isdir(map_root)
+        else []
+    )
+    if prior_snaps:
+        prior = spark.read.parquet(
+            os.path.join(map_root, f"snapshot={prior_snaps[-1]}")
+        )
+    else:
+        prior = spark.createDataFrame([], "entity_id long, canonical_id long")
+    out = merge_canonical_snapshots(prior, new_edges)
+    map_dir = os.path.join(map_root, f"snapshot={snapshot_id}")
+    sup_dir = os.path.join(store_dir, "superseded", f"snapshot={snapshot_id}")
+    out["mapping"].write.mode("overwrite").parquet(map_dir)
+    out["superseded"].write.mode("overwrite").parquet(sup_dir)
+    mapping = spark.read.parquet(map_dir)
+    superseded = spark.read.parquet(sup_dir)
+    return {
+        "mapping": mapping,
+        "superseded": superseded,
+        "n_entities": mapping.count(),
+        "n_superseded": superseded.count(),
+    }

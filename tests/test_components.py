@@ -66,3 +66,72 @@ def test_cc_driver_fast_path_matches_star_loop(spark):
     # the fast path really ran driver-side, the forced path really looped
     assert len(log_fast) == 1 and log_fast[0].get("mode") == "driver"
     assert len(log_dist) >= 1 and "mode" not in log_dist[0]
+
+
+def _merge(spark, prior_rows, edge_rows):
+    from neuroner_spark.operators.components import merge_canonical_snapshots
+
+    prior = spark.createDataFrame(
+        prior_rows or [], "entity_id long, canonical_id long"
+    )
+    edges = spark.createDataFrame(edge_rows or [], "src long, dst long")
+    out = merge_canonical_snapshots(prior, edges)
+    return (
+        {r["entity_id"]: r["canonical_id"] for r in out["mapping"].collect()},
+        {(r["old_canonical_id"], r["canonical_id"]) for r in out["superseded"].collect()},
+    )
+
+
+def test_merge_canonical_fresh_issue(spark):
+    """Empty prior: fresh labels are component minima (canonical_map
+    convention); nothing superseded."""
+    mapping, superseded = _merge(spark, [], [(10, 11), (20, 21)])
+    assert mapping == {10: 10, 11: 10, 20: 20, 21: 20}
+    assert superseded == set()
+
+
+def test_merge_canonical_stability_and_supersede(spark):
+    """New evidence merges two issued components -> the OLDER issued id
+    wins, the younger is recorded superseded; untouched components keep
+    their labels byte-for-byte."""
+    prior = [(10, 10), (11, 10), (20, 20), (21, 20), (30, 30)]
+    mapping, superseded = _merge(spark, prior, [(11, 21)])
+    assert mapping[10] == mapping[11] == mapping[20] == mapping[21] == 10
+    assert mapping[30] == 30  # untouched
+    assert superseded == {(20, 10)}
+
+
+def test_merge_canonical_issued_id_beats_lower_newcomer(spark):
+    """A brand-new entity with a LOWER id joins an issued component:
+    the issued id is KEPT (plain re-derived CC would relabel to 3 —
+    exactly the instability this operator exists to prevent)."""
+    prior = [(10, 10), (11, 10)]
+    mapping, superseded = _merge(spark, prior, [(3, 11)])
+    assert mapping == {3: 10, 10: 10, 11: 10}
+    assert superseded == set()
+
+
+def test_merge_canonical_noop_and_fresh_cluster(spark):
+    """Empty edges -> mapping == prior, nothing superseded; a disjoint
+    new cluster gets a fresh min-entity label alongside."""
+    prior = [(10, 10), (11, 10), (20, 20)]
+    mapping, superseded = _merge(spark, prior, [])
+    assert mapping == {10: 10, 11: 10, 20: 20}
+    assert superseded == set()
+    mapping2, superseded2 = _merge(spark, prior, [(40, 41)])
+    assert mapping2 == {10: 10, 11: 10, 20: 20, 40: 40, 41: 40}
+    assert superseded2 == set()
+
+
+def test_merge_canonical_winner_order_independent(spark):
+    """Three issued components merged pairwise in either order end at
+    the same labels: the minimum issued id among the connected set."""
+    prior = [(10, 10), (20, 20), (30, 30)]
+    a1, _ = _merge(spark, prior, [(10, 20)])
+    a2, sup_a = _merge(spark, [(k, v) for k, v in a1.items()], [(20, 30)])
+    b1, _ = _merge(spark, prior, [(20, 30)])
+    b2, sup_b = _merge(spark, [(k, v) for k, v in b1.items()], [(10, 20)])
+    assert a2 == b2 == {10: 10, 20: 10, 30: 10}
+    # superseded unions also reconcile to the same final winners
+    assert {(o, 10) for o, _ in sup_a} <= {(20, 10), (30, 10)}
+    assert {(o, 10) for o, _ in sup_b} <= {(20, 10), (30, 10)}

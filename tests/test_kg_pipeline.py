@@ -385,3 +385,44 @@ def test_pipeline_verb_lexicon_fingerprint(spark, tmp_path):
     }
     assert preds & set(DEFAULT_VERB_LEXICON), preds
     assert {"same_sentence_as", "co_occurs_with"} <= preds
+
+
+def test_incremental_canonical_store(spark, tmp_path):
+    """Snapshot store for issued entity ids: stability across
+    snapshots, superseded audit per snapshot, retry-overwrite
+    idempotence, reader = latest mapping partition only."""
+    import os
+
+    from neuroner_spark.plans.kg_pipeline import run_incremental_canonical
+
+    store = str(tmp_path / "canon_store")
+
+    def edges(rows):
+        return spark.createDataFrame(rows, "src long, dst long")
+
+    r0 = run_incremental_canonical(spark, edges([(10, 11), (20, 21)]), store, 0)
+    assert r0["n_entities"] == 4 and r0["n_superseded"] == 0
+    m0 = {r["entity_id"]: r["canonical_id"] for r in r0["mapping"].collect()}
+    assert m0 == {10: 10, 11: 10, 20: 20, 21: 20}
+
+    # snapshot 1 merges the two issued components -> 20 retires into 10
+    r1 = run_incremental_canonical(spark, edges([(11, 21)]), store, 1)
+    m1 = {r["entity_id"]: r["canonical_id"] for r in r1["mapping"].collect()}
+    assert m1 == {10: 10, 11: 10, 20: 10, 21: 10}
+    assert {(r["old_canonical_id"], r["canonical_id"]) for r in r1["superseded"].collect()} == {
+        (20, 10)
+    }
+
+    # snapshot 2: lower-id newcomer joins -> issued id 10 is KEPT
+    r2 = run_incremental_canonical(spark, edges([(3, 21)]), store, 2)
+    m2 = {r["entity_id"]: r["canonical_id"] for r in r2["mapping"].collect()}
+    assert m2 == {3: 10, 10: 10, 11: 10, 20: 10, 21: 10}
+    assert r2["n_superseded"] == 0
+
+    # retry of snapshot 1 overwrites its own partition, result unchanged
+    r1b = run_incremental_canonical(spark, edges([(11, 21)]), store, 1)
+    assert {r["entity_id"]: r["canonical_id"] for r in r1b["mapping"].collect()} == m1
+    # snapshot 0's superseded audit partition untouched by later writes
+    assert sorted(os.listdir(os.path.join(store, "superseded"))) == [
+        "snapshot=0", "snapshot=1", "snapshot=2",
+    ]
