@@ -99,6 +99,8 @@ def run_corpus_prep(
     contamination_n: int = 8,
     contamination_threshold: float = 0.05,
     min_quality: float = 0.5,
+    lm_max_bits: float | None = None,
+    lm_vocab_limit: int | None = None,
     keep_lang: str | None = None,
     remove_dup_spans: bool = False,
     span_n_sents: int = 3,
@@ -392,6 +394,25 @@ def run_corpus_prep(
         ),
     )
 
+    lm_scores = None
+    if lm_max_bits is not None:
+        # CCNet-order LM gate (r6): the bigram LM trains on the DEDUPED
+        # corpus (duplicates would overweight boilerplate n-grams and
+        # hand them low perplexity), then scores the same docs; gate =
+        # avg_nll_bits <= lm_max_bits, unscorable short docs pass.
+        from neuroner_spark.operators.quality_lm import bigram_lm_scores
+
+        fp_lm = fp_doc_set + f"|lm:a=0.5:v={lm_vocab_limit}"
+        lm_scores = stage(
+            "lm_scores",
+            fp_lm,
+            lambda: bigram_lm_scores(
+                near.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+                vocab_limit=lm_vocab_limit,
+            ),
+        )
+        fp_final = fp_final + f"|lmgate<={lm_max_bits}"
+
     def build_corpus() -> DataFrame:
         ok = quality.filter(
             (F.col("quality") >= min_quality) & (~F.col("repetition_flagged"))
@@ -402,6 +423,11 @@ def run_corpus_prep(
                 F.col("doc_id").alias(id_col)
             )
             kept = kept.join(_gate(clean), id_col, "left_semi")
+        if lm_scores is not None:
+            lm_ok = lm_scores.filter(
+                F.col("avg_nll_bits").isNull() | (F.col("avg_nll_bits") <= lm_max_bits)
+            ).select(F.col("doc_id").alias(id_col))
+            kept = kept.join(_gate(lm_ok), id_col, "left_semi")
         return kept
 
     corpus = stage("corpus", fp_final + f"|q>={min_quality}", build_corpus)
@@ -413,6 +439,7 @@ def run_corpus_prep(
         "giant_buckets": giants,
         "near_deduped": near,
         "quality": quality,
+        "lm_scores": lm_scores,
         "contamination": contamination,
         "lineage": lineage,
     }

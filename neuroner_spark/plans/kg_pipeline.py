@@ -325,8 +325,11 @@ def triples_from_linked(
     the verb branch reads the SAME materialized mention frame the
     positional branches do, plus one lexicon-filtered pass over the
     token stream."""
+    # span width (n) rides along only for the verb branch — callers
+    # without it (and without verb_lexicon) may pass n-less mentions
+    sel = ["doc_id", "sent_id", "pos"] + (["n"] if verb_lexicon is not None else [])
     m = linked.join(F.broadcast(canon), "entity_id").select(
-        "doc_id", "sent_id", "pos", "n", F.col("canonical_id").alias("ent")
+        *sel, F.col("canonical_id").alias("ent")
     )
     # this frame is branched 4x below (sentence pairs a/b, doc sets
     # a/b); without materialization every branch re-executes the
@@ -599,3 +602,50 @@ def run_incremental_canonical(
         "n_entities": mapping.count(),
         "n_superseded": superseded.count(),
     }
+
+
+# predicates stored order-normalized (subj < obj); verb predicates are
+# directed and keep their orientation through a re-key
+SYMMETRIC_PREDS = ["same_sentence_as", "near", "co_occurs_with"]
+
+
+def rekey_triples(triples: DataFrame, superseded: DataFrame) -> DataFrame:
+    """Re-key a materialized triple table through a snapshot's
+    ``superseded`` frame (the downstream half of
+    ``run_incremental_canonical``): retired canonical ids are rewritten
+    to their successors IN PLACE of rebuilding the table from mentions.
+
+    - the superseded frame is tiny by construction (ids retired by one
+      snapshot's merges) -> broadcast joins, the triple store never
+      shuffles;
+    - symmetric predicates re-normalize to subj < obj (a rewrite can
+      flip the order); verb predicates keep their direction;
+    - pairs whose two sides merged into ONE entity collapse to
+      self-loops and are dropped (a relation of an entity to itself is
+      merge residue, not signal);
+    - a final distinct folds triples that became identical.
+    """
+    t = triples
+    for side in ("subj", "obj"):
+        t = (
+            t.join(
+                F.broadcast(
+                    superseded.select(
+                        F.col("old_canonical_id").alias(side),
+                        F.col("canonical_id").alias("_new"),
+                    )
+                ),
+                side,
+                "left",
+            )
+            .withColumn(side, F.coalesce("_new", F.col(side)))
+            .drop("_new")
+        )
+    sym = F.col("pred").isin(SYMMETRIC_PREDS)
+    t = (
+        t.withColumn("_s", F.when(sym, F.least("subj", "obj")).otherwise(F.col("subj")))
+        .withColumn("obj", F.when(sym, F.greatest("subj", "obj")).otherwise(F.col("obj")))
+        .withColumn("subj", F.col("_s"))
+        .drop("_s")
+    )
+    return t.filter(F.col("subj") != F.col("obj")).distinct()

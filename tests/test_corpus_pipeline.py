@@ -497,3 +497,40 @@ def test_band_store_recompaction_idempotent(spark, tmp_path):
     assert len(paths) == 1 and "compacted" in paths[0]
     got = spark.read.parquet(paths[0])
     assert got.count() == got.select("band_id", "band_hash").distinct().count()
+
+
+def test_corpus_prep_lm_gate(spark, tmp_path):
+    """CCNet-order LM gate mechanics on the driver corpus: the gate
+    drops EXACTLY the above-threshold perplexity tail of the docs the
+    other gates kept (the LM trains on the deduped corpus, so the
+    score table is deterministic); kept docs are all <= threshold or
+    unscorable; resume works and the threshold only invalidates the
+    corpus stage.  (Separation of repetitive vs gibberish text is the
+    operator-level test in test_quality_lm.py — the synthetic filler
+    corpus here is near-uniform, so the gate is exercised as a tail
+    cut.)"""
+    from neuroner_spark.plans.corpus_pipeline import run_corpus_prep
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    base = run_corpus_prep(spark, docs, str(tmp_path / "no_lm"), fast_hash=True)
+    kept_base = {r["doc_id"] for r in base["corpus"].select("doc_id").collect()}
+    out = str(tmp_path / "lm_prep")
+    res = run_corpus_prep(spark, docs, out, lm_max_bits=5.0, fast_hash=True)
+    kept = {r["doc_id"] for r in res["corpus"].select("doc_id").collect()}
+    scores = {r["doc_id"]: r["avg_nll_bits"] for r in res["lm_scores"].collect()}
+    expected_drop = {
+        d for d in kept_base if scores.get(d) is not None and scores[d] > 5.0
+    }
+    assert expected_drop, "fixture must have an above-threshold tail"
+    assert kept_base - kept == expected_drop
+    assert all(scores[d] is None or scores[d] <= 5.0 for d in kept)
+    # resume: same params -> every stage resumed
+    res2 = run_corpus_prep(spark, docs, out, lm_max_bits=5.0, fast_hash=True)
+    assert all(m.get("resumed") for m in res2["lineage"])
+    # threshold change invalidates corpus only, lm_scores resumes
+    res3 = run_corpus_prep(spark, docs, out, lm_max_bits=4.9, fast_hash=True)
+    by = {m["stage"]: m for m in res3["lineage"]}
+    assert by["lm_scores"].get("resumed")
+    assert not by["corpus"].get("resumed")

@@ -426,3 +426,35 @@ def test_incremental_canonical_store(spark, tmp_path):
     assert sorted(os.listdir(os.path.join(store, "superseded"))) == [
         "snapshot=0", "snapshot=1", "snapshot=2",
     ]
+
+
+def test_rekey_triples_through_superseded(spark):
+    """Downstream re-key: retired ids rewrite in place, symmetric preds
+    re-normalize to subj<obj, directed verb preds keep orientation,
+    merge-residue self-loops drop, collapsed duplicates fold."""
+    from neuroner_spark.plans.kg_pipeline import rekey_triples
+
+    triples = spark.createDataFrame(
+        [
+            (10, "near", 20, "u1"),            # -> self-loop, dropped
+            (10, "co_occurs_with", 30, "u1"),  # untouched
+            (15, "near", 20, "u2"),            # -> (10, near, 15): order flips
+            (5, "filter", 20, "u2"),           # directed: (5, filter, 10)
+            (20, "query", 30, "u3"),           # directed subj rewrite: (10, query, 30)
+            (10, "near", 15, "u2"),            # collapses with the flipped row
+        ],
+        "subj long, pred string, obj long, url string",
+    )
+    superseded = spark.createDataFrame(
+        [(20, 10)], "old_canonical_id long, canonical_id long"
+    )
+    got = {
+        (r["subj"], r["pred"], r["obj"], r["url"])
+        for r in rekey_triples(triples, superseded).collect()
+    }
+    assert got == {
+        (10, "co_occurs_with", 30, "u1"),
+        (10, "near", 15, "u2"),
+        (5, "filter", 10, "u2"),
+        (10, "query", 30, "u3"),
+    }
