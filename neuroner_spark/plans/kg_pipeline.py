@@ -436,6 +436,7 @@ def run_pipeline(
     tokenizer: str = "regex",
     verb_lexicon: list[str] | None = None,
     verb_max_gap: int = VERB_MAX_GAP,
+    canonical: DataFrame | None = None,
 ) -> dict:
     """Run all stages with checkpoint/resume; returns
     {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
@@ -447,6 +448,10 @@ def run_pipeline(
     verb_lexicon: opt-in OpenIE-lite verb-predicate family (see
     ``verb_triples_from_mentions``); changes the triples stage
     fingerprint, so toggling it invalidates the checkpoint.
+    canonical: injected (entity_id, canonical_id) mapping replacing the
+    alias-dict-derived canonical_map — the incremental path threads the
+    issued-id store through here; content-fingerprinted into every
+    canon-consuming stage.
     """
     os.makedirs(out_dir, exist_ok=True)
     lineage: list[dict] = []
@@ -494,7 +499,15 @@ def run_pipeline(
     linked = stage(
         "linked", fp_linked, lambda: link_mentions(mentions, alias_dict, use_fuzzy=use_fuzzy)
     )
-    canon = stage("canonical", fp_alias + "|cc", lambda: canonical_map(alias_dict))
+    if canonical is not None:
+        # injected mapping (the incremental path threads the issued-id
+        # store through here); content-fingerprinted so a new issued
+        # mapping invalidates this stage and everything downstream
+        fp_canon = _fingerprint(canonical, "injected")
+        canon = stage("canonical", fp_canon, lambda: canonical)
+    else:
+        fp_canon = fp_alias + "|cc"
+        canon = stage("canonical", fp_canon, lambda: canonical_map(alias_dict))
     fp_verbs = (
         f":verbs={','.join(sorted(verb_lexicon))}:gap={verb_max_gap}"
         if verb_lexicon is not None
@@ -502,7 +515,7 @@ def run_pipeline(
     )
     triples = stage(
         "triples",
-        fp_linked + f"|triples:w={NEAR_WINDOW}:cap={max_entities_per_doc}" + fp_verbs,
+        fp_linked + "|" + fp_canon + f"|triples:w={NEAR_WINDOW}:cap={max_entities_per_doc}" + fp_verbs,
         lambda: triples_from_linked(
             linked,
             canon,
@@ -517,12 +530,12 @@ def run_pipeline(
     # materialized with their own manifest (n_rows == capped doc count)
     capped = stage(
         "co_occurs_capped",
-        fp_linked + f"|capped:cap={max_entities_per_doc}",
+        fp_linked + "|" + fp_canon + f"|capped:cap={max_entities_per_doc}",
         lambda: co_occurrence_capped_docs(linked, canon, max_entities_per_doc),
     )
     entities = stage(
         "entities",
-        fp_alias + "|entities",
+        fp_alias + "|" + fp_canon + "|entities",
         lambda: alias_dict.join(canon, "entity_id")
         .groupBy("canonical_id")
         .agg(
@@ -649,3 +662,145 @@ def rekey_triples(triples: DataFrame, superseded: DataFrame) -> DataFrame:
         .drop("_s")
     )
     return t.filter(F.col("subj") != F.col("obj")).distinct()
+
+
+def _resolved_superseded(spark: SparkSession, canon_store: str) -> DataFrame | None:
+    """Union every snapshot's superseded partition and path-compress
+    driver-side (the chain old -> mid -> new must resolve to old ->
+    new for a single-join re-key).  The table is merge-retirement-
+    sized — tiny by construction — so the collect is bounded."""
+    root = os.path.join(canon_store, "superseded")
+    if not os.path.isdir(root):
+        return None
+    parts = [
+        os.path.join(root, d) for d in sorted(os.listdir(root)) if d.startswith("snapshot=")
+    ]
+    if not parts:
+        return None
+    rows = spark.read.parquet(*parts).collect()
+    if not rows:
+        return None
+    nxt = {int(r["old_canonical_id"]): int(r["canonical_id"]) for r in rows}
+
+    def final(x: int) -> int:
+        seen = set()
+        while x in nxt and x not in seen:
+            seen.add(x)
+            x = nxt[x]
+        return x
+
+    resolved = [(o, final(o)) for o in nxt]
+    return spark.createDataFrame(resolved, "old_canonical_id long, canonical_id long")
+
+
+def read_kg_triples(spark: SparkSession, store_dir: str) -> DataFrame:
+    """Consistent view over the append-only triple store: the union of
+    every snapshot partition, re-keyed through the CUMULATIVE resolved
+    superseded table at read time.  Writes stay append-only (each
+    snapshot's partition is never rewritten — the audit record), yet
+    every read sees current canonical ids; materialize the view
+    periodically if read amplification matters."""
+    root = os.path.join(store_dir, "triples")
+    parts = [
+        os.path.join(root, d) for d in sorted(os.listdir(root)) if d.startswith("snapshot=")
+    ]
+    triples = spark.read.parquet(*parts)
+    resolved = _resolved_superseded(spark, os.path.join(store_dir, "canonical"))
+    if resolved is None:
+        return triples
+    return rekey_triples(triples, resolved)
+
+
+def run_incremental_kg(
+    spark: SparkSession,
+    pages: DataFrame,
+    alias_dict: DataFrame,
+    store_dir: str,
+    snapshot_id: int,
+    new_sameas_edges: DataFrame | None = None,
+    dedup: bool = True,
+    verb_lexicon: list[str] | None = None,
+    **pipeline_kw,
+) -> dict:
+    """One crawl snapshot through the full incremental KG lifecycle —
+    the north_rule composition of the three snapshot stores:
+
+      1. near-dup gate vs the accumulated band index
+         (``run_incremental_snapshot`` under {store}/dedup; page key =
+         xxhash64(url), so re-crawled/mirrored pages drop without
+         rescanning old text)
+      2. same-as evidence -> issued-id merge
+         (``run_incremental_canonical`` under {store}/canonical;
+         evidence defaults to the alias dictionary's share-an-alias
+         edges — already-issued components re-enter as self-loops and
+         cost nothing; callers add cross-snapshot discoveries via
+         ``new_sameas_edges``)
+      3. KG pipeline over the KEPT pages with the issued mapping
+         injected as the canonicalization (``run_pipeline`` under
+         {store}/runs/snapshot=<k>, checkpoint/resume intact)
+      4. triple append: {store}/triples/snapshot=<k> (overwrite own
+         partition — retry-idempotent, never rewrites history)
+
+    Read side: ``read_kg_triples`` re-keys the whole store through the
+    cumulative superseded chain, so earlier snapshots' triples follow
+    id retirements without their partitions being touched.
+    """
+    from neuroner_spark.plans.corpus_pipeline import run_incremental_snapshot
+
+    kept_pages = pages
+    decisions = None
+    if dedup:
+        docs = pages.select(
+            F.xxhash64("url").alias("doc_id"), F.col("text")
+        )
+        ded = run_incremental_snapshot(
+            spark, docs, os.path.join(store_dir, "dedup"), snapshot_id, fast_hash=True
+        )
+        decisions = ded["decisions"]
+        kept_ids = decisions.filter(F.col("status") == "kept").select("doc_id")
+        kept_pages = pages.join(
+            kept_ids.withColumnRenamed("doc_id", "_k"),
+            F.xxhash64("url") == F.col("_k"),
+            "left_semi",
+        )
+    # evidence = alias-share edges (idempotent re-entry: already-merged
+    # components rewrite to self-loops) + caller-discovered edges +
+    # IDENTITY self-edges for every dictionary entity.  The self-edges
+    # matter: they ISSUE an id for every entity the pipeline can emit,
+    # so a later merge of two ids always finds both issued and records
+    # the retirement in `superseded` — an id used by an earlier triple
+    # partition but absent from the issued store would dodge the
+    # read-time re-key.
+    edges = sameas_edges_from_aliases(alias_dict).unionByName(
+        alias_dict.select(F.col("entity_id").cast("long").alias("src"))
+        .distinct()
+        .withColumn("dst", F.col("src"))
+    )
+    if new_sameas_edges is not None:
+        edges = edges.unionByName(
+            new_sameas_edges.select(
+                F.col("src").cast("long"), F.col("dst").cast("long")
+            )
+        )
+    canon_store = os.path.join(store_dir, "canonical")
+    canon_res = run_incremental_canonical(spark, edges, canon_store, snapshot_id)
+    canon = canon_res["mapping"]
+    run = run_pipeline(
+        spark,
+        kept_pages,
+        alias_dict,
+        os.path.join(store_dir, "runs", f"snapshot={snapshot_id}"),
+        canonical=canon,
+        verb_lexicon=verb_lexicon,
+        **pipeline_kw,
+    )
+    trip_dir = os.path.join(store_dir, "triples", f"snapshot={snapshot_id}")
+    run["triples"].write.mode("overwrite").parquet(trip_dir)
+    return {
+        "triples": spark.read.parquet(trip_dir),
+        "decisions": decisions,
+        "mapping": canon_res["mapping"],
+        "superseded": canon_res["superseded"],
+        "entities": run["entities"],
+        "lineage": run["lineage"],
+    }

@@ -458,3 +458,83 @@ def test_rekey_triples_through_superseded(spark):
         (5, "filter", 10, "u2"),
         (10, "query", 30, "u3"),
     }
+
+
+def test_run_incremental_kg_lifecycle(spark, tmp_path):
+    """Full incremental composition: dedup gate drops a re-crawled
+    page; same-as evidence merges issued ids with a superseded record;
+    the append-only triple store re-keys at read time; retry is
+    idempotent."""
+    import datetime as dt
+
+    from neuroner_spark.plans.catalog_kg import _aliases
+    from neuroner_spark.plans.kg_pipeline import read_kg_triples, run_incremental_kg
+
+    store = str(tmp_path / "kg_store")
+    aliases = _aliases(spark)
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def pages(rows):
+        return spark.createDataFrame(
+            [(u, ts, t, "en") for u, t in rows],
+            "url string, warc_ts timestamp, text string, lang string",
+        )
+
+    p_sort = (
+        "the merge sort beats the window every day for sure in every case"
+    )
+    r0 = run_incremental_kg(
+        spark,
+        pages([("https://a/1", p_sort)]),
+        aliases,
+        store,
+        0,
+    )
+    t0 = {(r["subj"], r["pred"], r["obj"]) for r in r0["triples"].collect()}
+    # merge sort = entity 5, window = entity 6 (catalog ALIAS_DICT)
+    assert (5, "same_sentence_as", 6) in t0
+    assert r0["n_superseded"] == 0 if "n_superseded" in r0 else True
+
+    # snapshot 1: one re-crawl (dropped by the band index) + one new
+    # page + same-as evidence merging entities 5 and 6
+    p_scan = "the table scan joins the hash join here and there again now"
+    r1 = run_incremental_kg(
+        spark,
+        pages([("https://mirror/1", p_sort), ("https://a/2", p_scan)]),
+        aliases,
+        store,
+        1,
+        new_sameas_edges=spark.createDataFrame([(5, 6)], "src long, dst long"),
+    )
+    dec = {r["doc_id"]: r["status"] for r in r1["decisions"].collect()}
+    assert "dup_of_corpus" in dec.values() and "kept" in dec.values()
+    sup = {(r["old_canonical_id"], r["canonical_id"]) for r in r1["superseded"].collect()}
+    assert sup == {(6, 5)}
+    t1 = {(r["subj"], r["pred"], r["obj"]) for r in r1["triples"].collect()}
+    assert (3, "same_sentence_as", 4) in t1  # table scan + hash join
+    assert not any(s == 5 and o == 6 for s, _p, o in t1)  # merged: no 5-6 pairs
+
+    # read view: snapshot-0 triples follow the retirement without their
+    # partition being rewritten — (5, *, 6) collapsed to self-loops and
+    # dropped; no triple anywhere still references retired id 6
+    view = {(r["subj"], r["pred"], r["obj"]) for r in read_kg_triples(spark, store).collect()}
+    assert not any(6 in (s, o) for s, _p, o in view)
+    assert (3, "same_sentence_as", 4) in view
+    import os
+
+    raw0 = spark.read.parquet(os.path.join(store, "triples", "snapshot=0"))
+    assert raw0.filter("obj = 6").count() > 0  # history untouched
+
+    # retry of snapshot 1 overwrites in place, view unchanged
+    r1b = run_incremental_kg(
+        spark,
+        pages([("https://mirror/1", p_sort), ("https://a/2", p_scan)]),
+        aliases,
+        store,
+        1,
+        new_sameas_edges=spark.createDataFrame([(5, 6)], "src long, dst long"),
+    )
+    view2 = {
+        (r["subj"], r["pred"], r["obj"]) for r in read_kg_triples(spark, store).collect()
+    }
+    assert view2 == view
