@@ -804,3 +804,87 @@ def run_incremental_kg(
         "entities": run["entities"],
         "lineage": run["lineage"],
     }
+
+
+def run_incremental_aliases(
+    spark: SparkSession,
+    alias_increment: DataFrame,
+    store_dir: str,
+    snapshot_id: int,
+) -> dict:
+    """Incremental alias-dictionary ingestion: turn an alias-row
+    INCREMENT into same-as evidence without rescanning the prior
+    dictionary — the evidence-extraction front end of
+    ``run_incremental_kg(new_sameas_edges=...)``.
+
+    Store: {store_dir}/alias_norms/snapshot=<k>/ (alias_norm,
+    min_entity) — COMPLETE per snapshot (norm-count-sized, the keyed
+    table a crawl accumulates), overwrite-own-partition
+    retry-idempotent like every snapshot sink here.
+
+    Evidence rule (linear, the ``sameas_edges_from_aliases``
+    discipline — no quadratic blow-up inside hot alias groups): for
+    each norm in the increment, rep = least(prior min_entity, batch
+    min entity); every increment entity and the prior min connect to
+    rep.  Norms whose min is unchanged and whose entities all equal
+    rep emit nothing.
+
+    Plan shape: one groupBy over the increment (batch min per norm),
+    one equi-join against the prior norm table (keyed store — with it
+    bucketed by alias_norm the join never shuffles the store), one
+    union for the merged table.  The prior dictionary's ROWS are never
+    read.
+
+    Returns {'edges', 'norms', 'n_new_norms'}.
+    """
+    root = os.path.join(store_dir, "alias_norms")
+    prior_snaps = (
+        sorted(
+            int(d.split("=")[1])
+            for d in os.listdir(root)
+            if d.startswith("snapshot=") and int(d.split("=")[1]) < snapshot_id
+        )
+        if os.path.isdir(root)
+        else []
+    )
+    if prior_snaps:
+        prior = spark.read.parquet(os.path.join(root, f"snapshot={prior_snaps[-1]}"))
+    else:
+        prior = spark.createDataFrame([], "alias_norm string, min_entity long")
+    batch = (
+        alias_increment.select("alias_norm", F.col("entity_id").cast("long"))
+        .groupBy("alias_norm")
+        .agg(
+            F.min("entity_id").alias("batch_min"),
+            F.collect_set("entity_id").alias("ents"),
+        )
+    )
+    joined = batch.join(
+        prior.withColumnRenamed("min_entity", "prior_min"), "alias_norm", "left"
+    ).withColumn("rep", F.least(F.coalesce("prior_min", "batch_min"), "batch_min"))
+    edges = (
+        joined.select(
+            "rep",
+            F.explode(
+                F.when(
+                    F.col("prior_min").isNotNull(),
+                    F.array_union(F.col("ents"), F.array(F.col("prior_min"))),
+                ).otherwise(F.col("ents"))
+            ).alias("dst"),
+        )
+        .filter(F.col("rep") != F.col("dst"))
+        .select(F.col("rep").alias("src"), "dst")
+        .distinct()
+    )
+    merged = (
+        prior.unionByName(
+            joined.select("alias_norm", F.col("rep").alias("min_entity"))
+        )
+        .groupBy("alias_norm")
+        .agg(F.min("min_entity").alias("min_entity"))
+    )
+    out_dir = os.path.join(root, f"snapshot={snapshot_id}")
+    merged.write.mode("overwrite").parquet(out_dir)
+    norms = spark.read.parquet(out_dir)
+    n_new = norms.count() - (prior.count() if prior_snaps else 0)
+    return {"edges": edges, "norms": norms, "n_new_norms": n_new}

@@ -538,3 +538,40 @@ def test_run_incremental_kg_lifecycle(spark, tmp_path):
         (r["subj"], r["pred"], r["obj"]) for r in read_kg_triples(spark, store).collect()
     }
     assert view2 == view
+
+
+def test_incremental_alias_ingestion(spark, tmp_path):
+    """Alias-increment -> same-as evidence without rescanning the prior
+    dictionary: new norm issues edges within the batch; a known norm
+    links its prior min to the batch; unchanged singleton rows emit
+    nothing; the norm store merges min-per-norm across snapshots."""
+    from neuroner_spark.plans.kg_pipeline import run_incremental_aliases
+
+    store = str(tmp_path / "alias_store")
+
+    def inc(rows):
+        return spark.createDataFrame(rows, "alias_norm string, entity_id long")
+
+    # snapshot 0: two norms; 'acme' shared by 10+12, 'beta' only 20
+    r0 = run_incremental_aliases(spark, inc([("acme", 12), ("acme", 10), ("beta", 20)]), store, 0)
+    e0 = {(r["src"], r["dst"]) for r in r0["edges"].collect()}
+    assert e0 == {(10, 12)}
+    assert r0["n_new_norms"] == 2
+    n0 = {r["alias_norm"]: r["min_entity"] for r in r0["norms"].collect()}
+    assert n0 == {"acme": 10, "beta": 20}
+
+    # snapshot 1: 'acme' gains entity 7 (lower than prior min) and
+    # 'beta' re-appears with ONLY its prior min -> no beta edge
+    r1 = run_incremental_aliases(spark, inc([("acme", 7), ("beta", 20)]), store, 1)
+    e1 = {(r["src"], r["dst"]) for r in r1["edges"].collect()}
+    assert e1 == {(7, 10)}  # batch min 7 links the prior group via its min
+    assert r1["n_new_norms"] == 0
+    n1 = {r["alias_norm"]: r["min_entity"] for r in r1["norms"].collect()}
+    assert n1 == {"acme": 7, "beta": 20}
+
+    # snapshot 2: known norm, higher-id entity -> edge to prior min only
+    r2 = run_incremental_aliases(spark, inc([("beta", 33)]), store, 2)
+    e2 = {(r["src"], r["dst"]) for r in r2["edges"].collect()}
+    assert e2 == {(20, 33)}
+    n2 = {r["alias_norm"]: r["min_entity"] for r in r2["norms"].collect()}
+    assert n2 == {"acme": 7, "beta": 20}  # acme carried forward untouched
