@@ -747,6 +747,8 @@ def run_incremental_kg(
     """
     from neuroner_spark.plans.corpus_pipeline import run_incremental_snapshot
 
+    step_walls: dict[str, float] = {}
+    _t0 = time.time()
     kept_pages = pages
     decisions = None
     if dedup:
@@ -763,6 +765,7 @@ def run_incremental_kg(
             F.xxhash64("url") == F.col("_k"),
             "left_semi",
         )
+    step_walls["dedup_gate"] = round(time.time() - _t0, 3)
     # evidence = alias-share edges (idempotent re-entry: already-merged
     # components rewrite to self-loops) + caller-discovered edges +
     # IDENTITY self-edges for every dictionary entity.  The self-edges
@@ -783,8 +786,11 @@ def run_incremental_kg(
             )
         )
     canon_store = os.path.join(store_dir, "canonical")
+    _t0 = time.time()
     canon_res = run_incremental_canonical(spark, edges, canon_store, snapshot_id)
     canon = canon_res["mapping"]
+    step_walls["canonical_merge"] = round(time.time() - _t0, 3)
+    _t0 = time.time()
     run = run_pipeline(
         spark,
         kept_pages,
@@ -794,8 +800,11 @@ def run_incremental_kg(
         verb_lexicon=verb_lexicon,
         **pipeline_kw,
     )
+    step_walls["pipeline"] = round(time.time() - _t0, 3)
+    _t0 = time.time()
     trip_dir = os.path.join(store_dir, "triples", f"snapshot={snapshot_id}")
     run["triples"].write.mode("overwrite").parquet(trip_dir)
+    step_walls["triple_append"] = round(time.time() - _t0, 3)
     return {
         "triples": spark.read.parquet(trip_dir),
         "decisions": decisions,
@@ -803,6 +812,9 @@ def run_incremental_kg(
         "superseded": canon_res["superseded"],
         "entities": run["entities"],
         "lineage": run["lineage"],
+        # driver-side walls for the four snapshot phases — the
+        # two-size scaling artifact names the serial floor with these
+        "step_walls": step_walls,
     }
 
 
