@@ -701,9 +701,15 @@ def read_kg_triples(spark: SparkSession, store_dir: str) -> DataFrame:
     every read sees current canonical ids; materialize the view
     periodically if read amplification matters."""
     root = os.path.join(store_dir, "triples")
-    parts = [
-        os.path.join(root, d) for d in sorted(os.listdir(root)) if d.startswith("snapshot=")
-    ]
+    parts = (
+        [os.path.join(root, d) for d in sorted(os.listdir(root)) if d.startswith("snapshot=")]
+        if os.path.isdir(root)
+        else []
+    )
+    if not parts:
+        raise FileNotFoundError(
+            f"no triple snapshots under {root} — run run_incremental_kg first"
+        )
     triples = spark.read.parquet(*parts)
     resolved = _resolved_superseded(spark, os.path.join(store_dir, "canonical"))
     if resolved is None:

@@ -70,6 +70,7 @@ def run_streaming_pipeline(
     contamination_n: int = 8,
     contamination_threshold: float = 0.05,
     dedup_store_dir: str | None = None,
+    verb_lexicon: list[str] | None = None,
 ) -> None:
     """foreachBatch KG pipeline: each micro-batch of pages runs the
     batch stages (normalize -> tokenize -> match -> link -> triples)
@@ -77,6 +78,9 @@ def run_streaming_pipeline(
     (idempotent under retry; readers see ``batch_id`` as a partition
     column). Drains available input and stops (availableNow) — swap
     the trigger for continuous operation.
+
+    ``verb_lexicon``: opt-in OpenIE-lite verb predicates, same contract
+    as the batch pipeline (``verb_triples_from_mentions``).
 
     Intake gates (the corpus-prep filters applied AT ingest, so junk
     never reaches the KG stages): ``min_quality`` drops pages below
@@ -227,7 +231,10 @@ def run_streaming_pipeline(
         # pinned= threads the branched mention frame into this batch's
         # release list — triples_from_linked's default localCheckpoint
         # would pin one unreleasable RDD PER MICRO-BATCH
-        triples = triples_from_linked(linked, canon, meta, pinned=pinned)
+        triples = triples_from_linked(
+            linked, canon, meta, pinned=pinned,
+            verb_lexicon=verb_lexicon, tokens=tokens,
+        )
         # deterministic per-batch path + overwrite = retry-idempotent
         triples.write.mode("overwrite").parquet(
             os.path.join(out_dir, f"batch_id={batch_id}")

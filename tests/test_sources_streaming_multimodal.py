@@ -549,3 +549,26 @@ def test_streaming_incremental_dedup_gate(spark, tmp_path):
     run_streaming_pipeline(spark, landing, out, ckpt, alias_df(spark), **kwargs)
     assert spark.read.parquet(out).count() == n2
     assert spark.read.parquet(rejects).count() == n_rej_total
+
+
+def test_streaming_pipeline_verb_predicates(spark, tmp_path):
+    """Streaming parity for the r6 verb-predicate family: verb_lexicon=
+    emits DIRECTED lexicon preds alongside the positional ones, through
+    the same pinned-frame release path."""
+    from neuroner_spark.fixtures.gen import alias_df, pages_df
+    from neuroner_spark.plans.kg_pipeline import DEFAULT_VERB_LEXICON
+    from neuroner_spark.streaming.ingest import run_streaming_pipeline
+
+    landing = str(tmp_path / "landing")
+    pages_df(spark, 200).write.parquet(landing)
+    out = str(tmp_path / "triples")
+    run_streaming_pipeline(
+        spark, landing, out, str(tmp_path / "ckpt"), alias_df(spark),
+        verb_lexicon=DEFAULT_VERB_LEXICON,
+    )
+    preds = {
+        r["pred"]
+        for r in spark.read.parquet(out).select("pred").distinct().collect()
+    }
+    assert preds & set(DEFAULT_VERB_LEXICON), preds
+    assert {"same_sentence_as", "co_occurs_with"} <= preds
