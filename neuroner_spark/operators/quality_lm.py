@@ -73,31 +73,38 @@ def bigram_lm_scores(
         F.explode(F.split(F.col(text_col), " ")).alias("tok")
     )
     if vocab_limit is not None:
-        keep = (
-            toks.groupBy("tok")
-            .agg(F.count("*").alias("c"))
-            .orderBy(F.desc("c"), F.asc("tok"))
-            .limit(vocab_limit)
-            .select("tok")
-        )
-        # broadcast map: rare -> UNK on both positions before counting
+        # ONE corpus-wide count table feeds everything below: the top-K
+        # keep set AND the smoothing denominator V (r6 review fix —
+        # the previous shape re-aggregated the corpus for the vocab
+        # union and ran a corpus-wide anti-join just to detect one OOV
+        # token; V = min(types, K) + [types > K] needs only the count)
+        counts = toks.groupBy("tok").agg(F.count("*").alias("c"))
+        keep = counts.orderBy(F.desc("c"), F.asc("tok")).limit(vocab_limit).select("tok")
+        # both UNK rewrites broadcast the SAME keep plan (alias-only
+        # difference -> Catalyst's exchange reuse serves one build)
+        ka, kb = keep.alias("_ka"), keep.alias("_kb")
         pairs = (
-            pairs.join(
-                F.broadcast(keep.withColumnRenamed("tok", "prev")).withColumn("pk", F.lit(True)),
+            pairs.join(F.broadcast(ka), F.col("prev") == F.col("_ka.tok"), "left")
+            .withColumn(
                 "prev",
-                "left",
+                F.when(F.col("_ka.tok").isNotNull(), F.col("prev")).otherwise(F.lit(UNK)),
             )
-            .join(F.broadcast(keep).withColumn("tk", F.lit(True)), "tok", "left")
+            .drop(F.col("_ka.tok"))
+            .join(F.broadcast(kb), pairs.tok == F.col("_kb.tok"), "left")
             .select(
                 id_col,
-                F.when(F.col("pk").isNotNull(), F.col("prev")).otherwise(F.lit(UNK)).alias("prev"),
-                F.when(F.col("tk").isNotNull(), F.col("tok")).otherwise(F.lit(UNK)).alias("tok"),
+                "prev",
+                F.when(F.col("_kb.tok").isNotNull(), pairs.tok)
+                .otherwise(F.lit(UNK))
+                .alias("tok"),
             )
         )
-        vocab = keep.select("tok").union(
-            toks.select("tok").join(F.broadcast(keep), "tok", "left_anti").limit(1).select(F.lit(UNK).alias("tok"))
+        v_frame = counts.agg(F.count("*").cast("double").alias("nt")).select(
+            (
+                F.least(F.col("nt"), F.lit(float(vocab_limit)))
+                + (F.col("nt") > vocab_limit).cast("double")
+            ).alias("V")
         )
-        v_frame = vocab.agg(F.count_distinct("tok").cast("double").alias("V"))
     else:
         v_frame = toks.agg(F.count_distinct("tok").cast("double").alias("V"))
 

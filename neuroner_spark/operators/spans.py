@@ -74,6 +74,10 @@ def extract_spans(
             *keys,
             F.col("_span_id").alias("span_id"),
             F.element_at("_toks", 1)["typ"].alias("type"),
+            # first TOKEN position of the span — the positional anchor
+            # mention consumers (near/verb predicates) must use;
+            # span_id is an ordinal, not a distance-bearing position
+            F.element_at("_toks", 1)["pos"].alias("tok_pos"),
             "start",
             "end",
             F.array_join(F.transform("_toks", lambda t: t["token"]), " ").alias("surface"),

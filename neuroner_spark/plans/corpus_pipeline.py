@@ -64,6 +64,7 @@ from neuroner_spark.operators.dedup import (
 from neuroner_spark.plans.kg_pipeline import (
     _fingerprint,
     _manifest_path,
+    _snapshot_dirs,
     _try_resume,
     _write_stage,
 )
@@ -411,7 +412,10 @@ def run_corpus_prep(
                 vocab_limit=lm_vocab_limit,
             ),
         )
-        fp_final = fp_final + f"|lmgate<={lm_max_bits}"
+        # vocab_limit changes the SCORES the gate cuts on, so it must
+        # reach the corpus fingerprint too (r6 review finding: a limit
+        # change rebuilt lm_scores but resumed a stale corpus)
+        fp_final = fp_final + f"|lmgate<={lm_max_bits}:v={lm_vocab_limit}"
 
     def build_corpus() -> DataFrame:
         ok = quality.filter(
@@ -443,17 +447,6 @@ def run_corpus_prep(
         "contamination": contamination,
         "lineage": lineage,
     }
-
-
-def _snapshot_dirs(root: str, prefix: str) -> list[tuple[int, str]]:
-    """Sorted (id, path) for ``{root}/{prefix}=<id>`` partitions."""
-    if not os.path.isdir(root):
-        return []
-    out = []
-    for d in os.listdir(root):
-        if d.startswith(prefix + "="):
-            out.append((int(d.split("=")[1]), os.path.join(root, d)))
-    return sorted(out)
 
 
 def _band_store_inputs(store_dir: str, exclude_snapshot: int | None = None) -> list[str]:

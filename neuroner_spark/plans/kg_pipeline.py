@@ -70,6 +70,19 @@ def _manifest_path(out_dir: str, stage: str) -> str:
     return os.path.join(out_dir, stage, "_manifest.json")
 
 
+def _snapshot_dirs(root: str, prefix: str) -> list[tuple[int, str]]:
+    """Sorted (id, path) for ``{root}/{prefix}=<id>`` partitions — the
+    one place the snapshot-store layout is parsed (shared by the
+    dedup band store, the canonical store, and the alias-norm store)."""
+    if not os.path.isdir(root):
+        return []
+    out = []
+    for d in os.listdir(root):
+        if d.startswith(prefix + "="):
+            out.append((int(d.split("=")[1]), os.path.join(root, d)))
+    return sorted(out)
+
+
 def _write_stage(df: DataFrame, out_dir: str, stage: str, fingerprint: str, lineage: list[dict]) -> DataFrame:
     path = os.path.join(out_dir, stage)
     t0 = time.time()
@@ -413,7 +426,11 @@ def neural_mentions(
     return spans.select(
         "doc_id",
         "sent_id",
-        F.col("span_id").cast("int").alias("pos"),
+        # token-position anchor (r6 review fix): span_id is a per-
+        # sentence ORDINAL — using it as pos made near/verb predicate
+        # distances wrong on the neural path (gazetteer pos has always
+        # been the token index)
+        F.col("tok_pos").cast("int").alias("pos"),
         F.col("n_tokens").cast("int").alias("n"),
         F.col("surface"),
         _sn(F.col("surface")).alias("surface_norm"),
@@ -587,19 +604,11 @@ def run_incremental_canonical(
     from neuroner_spark.operators.components import merge_canonical_snapshots
 
     map_root = os.path.join(store_dir, "mapping")
-    prior_snaps = (
-        sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(map_root)
-            if d.startswith("snapshot=") and int(d.split("=")[1]) < snapshot_id
-        )
-        if os.path.isdir(map_root)
-        else []
-    )
+    prior_snaps = [
+        (sid, path) for sid, path in _snapshot_dirs(map_root, "snapshot") if sid < snapshot_id
+    ]
     if prior_snaps:
-        prior = spark.read.parquet(
-            os.path.join(map_root, f"snapshot={prior_snaps[-1]}")
-        )
+        prior = spark.read.parquet(prior_snaps[-1][1])
     else:
         prior = spark.createDataFrame([], "entity_id long, canonical_id long")
     out = merge_canonical_snapshots(prior, new_edges)
@@ -615,6 +624,29 @@ def run_incremental_canonical(
         "n_entities": mapping.count(),
         "n_superseded": superseded.count(),
     }
+
+
+def prune_canonical_store(store_dir: str, keep_latest: int = 2) -> int:
+    """Maintenance for the canonical mapping store: every snapshot's
+    mapping partition is COMPLETE, so older ones are fully covered by
+    the latest — drop all but ``keep_latest`` of them.  The
+    ``superseded`` partitions are NEVER touched (append-only audit
+    record; ``read_kg_triples`` resolves through their full history).
+
+    Default keeps the latest TWO: a retried in-flight snapshot k reads
+    its prior from the latest partition with id < k, so pruning the
+    predecessor of the newest snapshot would make that retry rebuild
+    the issued-id space from empty (r6 review finding).  Pass
+    keep_latest=1 only once the newest snapshot is known committed.
+    Returns the number of directories removed."""
+    import shutil
+
+    snaps = _snapshot_dirs(os.path.join(store_dir, "mapping"), "snapshot")
+    n = 0
+    for _sid, path in snaps[: max(0, len(snaps) - keep_latest)]:
+        shutil.rmtree(path)
+        n += 1
+    return n
 
 
 # predicates stored order-normalized (subj < obj); verb predicates are
@@ -669,11 +701,8 @@ def _resolved_superseded(spark: SparkSession, canon_store: str) -> DataFrame | N
     driver-side (the chain old -> mid -> new must resolve to old ->
     new for a single-join re-key).  The table is merge-retirement-
     sized — tiny by construction — so the collect is bounded."""
-    root = os.path.join(canon_store, "superseded")
-    if not os.path.isdir(root):
-        return None
     parts = [
-        os.path.join(root, d) for d in sorted(os.listdir(root)) if d.startswith("snapshot=")
+        p for _sid, p in _snapshot_dirs(os.path.join(canon_store, "superseded"), "snapshot")
     ]
     if not parts:
         return None
@@ -701,11 +730,7 @@ def read_kg_triples(spark: SparkSession, store_dir: str) -> DataFrame:
     every read sees current canonical ids; materialize the view
     periodically if read amplification matters."""
     root = os.path.join(store_dir, "triples")
-    parts = (
-        [os.path.join(root, d) for d in sorted(os.listdir(root)) if d.startswith("snapshot=")]
-        if os.path.isdir(root)
-        else []
-    )
+    parts = [p for _sid, p in _snapshot_dirs(root, "snapshot")]
     if not parts:
         raise FileNotFoundError(
             f"no triple snapshots under {root} — run run_incremental_kg first"
@@ -856,17 +881,11 @@ def run_incremental_aliases(
     Returns {'edges', 'norms', 'n_new_norms'}.
     """
     root = os.path.join(store_dir, "alias_norms")
-    prior_snaps = (
-        sorted(
-            int(d.split("=")[1])
-            for d in os.listdir(root)
-            if d.startswith("snapshot=") and int(d.split("=")[1]) < snapshot_id
-        )
-        if os.path.isdir(root)
-        else []
-    )
+    prior_snaps = [
+        (sid, path) for sid, path in _snapshot_dirs(root, "snapshot") if sid < snapshot_id
+    ]
     if prior_snaps:
-        prior = spark.read.parquet(os.path.join(root, f"snapshot={prior_snaps[-1]}"))
+        prior = spark.read.parquet(prior_snaps[-1][1])
     else:
         prior = spark.createDataFrame([], "alias_norm string, min_entity long")
     batch = (

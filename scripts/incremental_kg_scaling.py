@@ -46,13 +46,15 @@ docs = spark.read.parquet(os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/s
                           + "/documents.parquet").select("doc_id", "text")
 n_src = docs.count()
 reps = max(1, -(-n_pages // n_src))  # replicate up (sf0.1 is 5k docs)
+# deterministic selection (no limit(): unordered limit re-samples per
+# re-execution, so the re-crawl half could drift from snapshot 0)
 base = (
     docs.crossJoin(spark.range(reps).withColumnRenamed("id", "rep"))
     .withColumn("doc_id", F.col("doc_id") + F.col("rep") * F.lit(1_000_000_000))
     .withColumn("text", F.concat("text", F.lit(" zrep"), F.col("rep").cast("string")))
     .drop("rep")
-    .limit(n_pages)
 )
+n_pages = n_src * reps  # actual size; recorded below
 
 def pages(df, tag):
     return df.select(
@@ -65,7 +67,7 @@ def pages(df, tag):
 p0 = pages(base.withColumn("text", F.concat("text", F.lit(" zsnap0x"), F.col("doc_id").cast("string"))), "a")
 # snapshot 1: half re-crawls of snapshot 0 (same text, new urls) +
 # half genuinely new pages (reversed word order)
-half = base.limit(n_pages // 2)
+half = base.filter(F.col("doc_id") % 2 == 0)  # deterministic half
 recrawl = pages(half.withColumn("text", F.concat("text", F.lit(" zsnap0x"), F.col("doc_id").cast("string"))), "mirror")
 fresh = pages(half.withColumn("text",
         F.concat(F.array_join(F.reverse(F.split(F.col("text"), " ")), " "),
@@ -84,7 +86,7 @@ n_trip = r["triples"].count()
 dec = {{x["status"]: 1 for x in r["decisions"].select("status").distinct().collect()}}
 wall = round(time.time() - t0, 3)
 stage_walls = {{m["stage"]: m["wall_s"] for m in r["lineage"]}}
-print(json.dumps({{"wall_s": wall, "n_triples": n_trip,
+print(json.dumps({{"wall_s": wall, "n_triples": n_trip, "n_pages_actual": n_pages,
                    "statuses": sorted(dec), "probe_sec": [pr0, probe()],
                    "step_walls": r["step_walls"],
                    "pipeline_stage_walls": stage_walls}}))

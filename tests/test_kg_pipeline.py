@@ -575,3 +575,40 @@ def test_incremental_alias_ingestion(spark, tmp_path):
     assert e2 == {(20, 33)}
     n2 = {r["alias_norm"]: r["min_entity"] for r in r2["norms"].collect()}
     assert n2 == {"acme": 7, "beta": 20}  # acme carried forward untouched
+
+
+def test_prune_canonical_store(spark, tmp_path):
+    """Old complete mapping snapshots prune away; the latest mapping
+    and the full superseded audit history survive, and the read view
+    is unchanged."""
+    import os
+
+    from neuroner_spark.plans.kg_pipeline import (
+        prune_canonical_store,
+        run_incremental_canonical,
+    )
+
+    store = str(tmp_path / "canon")
+    e = lambda rows: spark.createDataFrame(rows, "src long, dst long")
+    run_incremental_canonical(spark, e([(10, 11), (20, 21)]), store, 0)
+    run_incremental_canonical(spark, e([(11, 21)]), store, 1)
+    run_incremental_canonical(spark, e([(30, 31)]), store, 2)
+    # default keeps the latest TWO: a retry of the in-flight snapshot
+    # still finds its prior (r6 review finding)
+    assert prune_canonical_store(store) == 1
+    assert sorted(os.listdir(os.path.join(store, "mapping"))) == [
+        "snapshot=1", "snapshot=2",
+    ]
+    r2b = run_incremental_canonical(spark, e([(30, 31)]), store, 2)  # retry
+    m = {r["entity_id"]: r["canonical_id"] for r in r2b["mapping"].collect()}
+    assert m == {10: 10, 11: 10, 20: 10, 21: 10, 30: 30, 31: 30}
+    # superseded audit history never pruned
+    assert sorted(os.listdir(os.path.join(store, "superseded"))) == [
+        "snapshot=0", "snapshot=1", "snapshot=2",
+    ]
+    # explicit keep_latest=1 (latest known committed) drops one more
+    assert prune_canonical_store(store, keep_latest=1) == 1
+    assert os.listdir(os.path.join(store, "mapping")) == ["snapshot=2"]
+    r3 = run_incremental_canonical(spark, e([(40, 41)]), store, 3)
+    m3 = {r["entity_id"]: r["canonical_id"] for r in r3["mapping"].collect()}
+    assert m3 == {10: 10, 11: 10, 20: 10, 21: 10, 30: 30, 31: 30, 40: 40, 41: 40}
