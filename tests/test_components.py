@@ -135,3 +135,65 @@ def test_merge_canonical_winner_order_independent(spark):
     # superseded unions also reconcile to the same final winners
     assert {(o, 10) for o, _ in sup_a} <= {(20, 10), (30, 10)}
     assert {(o, 10) for o, _ in sup_b} <= {(20, 10), (30, 10)}
+
+
+def test_merge_canonical_matches_model_on_random_batches(spark):
+    """Property check (seeded): applying random edge batches through
+    merge_canonical_snapshots matches an independent Python model of
+    the issued-id semantics — components = plain union-find over all
+    edges so far; label = min issued id in the component (ids become
+    issued the first time a mapping is emitted), else min member."""
+    import numpy as np
+
+    from neuroner_spark.operators.components import merge_canonical_snapshots
+
+    rng = np.random.default_rng(7)
+    prior_rows: list[tuple[int, int]] = []
+    # Python model state
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    issued: set[int] = set()
+    all_edges: list[tuple[int, int]] = []
+    for batch in range(4):
+        k = int(rng.integers(3, 10))
+        edges = [
+            (int(rng.integers(0, 40)), int(rng.integers(0, 40))) for _ in range(k)
+        ]
+        all_edges.extend(edges)
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        # model labels: min issued id per component, else min member
+        comps: dict[int, list[int]] = {}
+        for node in parent:
+            comps.setdefault(find(node), []).append(node)
+        model: dict[int, int] = {}
+        labels: dict[int, int] = {}
+        for root, members in comps.items():
+            iss = [m for m in members if m in issued]
+            labels[root] = min(iss) if iss else min(members)
+        for node in parent:
+            model[node] = labels[find(node)]
+        # keep previously-issued labels for nodes untouched this batch
+        # (the model above recomputes from ALL edges, which must agree
+        # because min-issued is monotone under edge addition)
+        out = merge_canonical_snapshots(
+            spark.createDataFrame(
+                prior_rows or [], "entity_id long, canonical_id long"
+            ),
+            spark.createDataFrame(edges, "src long, dst long"),
+        )
+        got = {r["entity_id"]: r["canonical_id"] for r in out["mapping"].collect()}
+        assert got == model, (batch, got, model)
+        # only canonical VALUES are issued labels (a newcomer key that
+        # lost to an older issued id — e.g. 22 -> 23 — must never later
+        # win a label purely for being small)
+        issued.update(got.values())
+        prior_rows = sorted(got.items())
