@@ -1,0 +1,109 @@
+"""Entity-importance ranking over the materialized KG: PageRank as
+iterative DataFrame joins (Page et al. 1999; the standard MapReduce
+formulation), the analytics consumer of the triple store's entity/edge
+tables — same execution discipline as ``operators/components.py``
+(localCheckpoint per round so the plan never grows, one action per
+round for the convergence check).
+
+Scale shape at 10^9-node graphs:
+  - the edge table is the only corpus-sized frame; each iteration is
+    ONE equi-join (ranks x out-degrees on src) + ONE groupBy(dst) sum
+    — both shuffles keyed on node id, and the join side reuses the
+    same partitioning every round (AQE + exchange reuse);
+  - out-degrees are computed once, up front;
+  - dangling mass (nodes with no out-edges) is ONE scalar agg per
+    round, redistributed uniformly — without it rank leaks and the
+    result diverges from the true eigenvector;
+  - convergence check = L1 delta, one action per round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    undirected: bool = False,
+    iteration_log: list | None = None,
+) -> DataFrame:
+    """edges(src, dst) -> (node, rank), sum(rank) == 1.
+
+    ``undirected``: symmetrize first (co-occurrence graphs are
+    undirected; verb-predicate graphs are directed).
+    ``iteration_log``: appends {'iter', 'l1_delta', 'wall_sec'} per
+    round (the components.py observability contract).
+    """
+    import time
+
+    e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+    if undirected:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .unionByName(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    for i in range(max_iter):
+        t0 = time.time()
+        with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
+        # dangling nodes (no out-edges) donate their mass uniformly
+        dangling = (
+            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
+            or 0.0
+        )
+        contribs = (
+            with_deg.filter(F.col("deg").isNotNull())
+            .select("node", (F.col("rank") / F.col("deg")).alias("share"))
+            .join(e, F.col("node") == e.src)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("share").alias("inflow"))
+        )
+        base = (1.0 - damping) / n + damping * dangling / n
+        new_ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
+                    "rank"
+                ),
+            )
+            .localCheckpoint()
+        )
+        delta = (
+            ranks.withColumnRenamed("rank", "r0")
+            .join(new_ranks, "node")
+            .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
+            .collect()[0][0]
+        )
+        ranks = new_ranks
+        if iteration_log is not None:
+            iteration_log.append(
+                {"iter": i, "l1_delta": float(delta), "wall_sec": round(time.time() - t0, 3)}
+            )
+        if delta < tol:
+            break
+    return ranks
+
+
+def entity_pagerank(spark, store_dir: str, pred: str = "co_occurs_with", **kw) -> DataFrame:
+    """Rank canonical entities by PageRank over one predicate's edge
+    set from the incremental triple store (``read_kg_triples`` view, so
+    retired ids are already resolved).  Co-occurrence predicates are
+    undirected; verb predicates directed."""
+    from neuroner_spark.plans.kg_pipeline import SYMMETRIC_PREDS, read_kg_triples
+
+    triples = read_kg_triples(spark, store_dir).filter(F.col("pred") == pred)
+    edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
+    return pagerank(edges, undirected=pred in SYMMETRIC_PREDS, **kw)

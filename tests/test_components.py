@@ -197,3 +197,90 @@ def test_merge_canonical_matches_model_on_random_batches(spark):
         # win a label purely for being small)
         issued.update(got.values())
         prior_rows = sorted(got.items())
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    """pagerank vs an independent numpy power iteration with the same
+    dangling-mass redistribution, on a directed graph WITH a dangling
+    node; ranks sum to 1."""
+    import numpy as np
+
+    from neuroner_spark.operators.graph_rank import pagerank
+
+    # 0->1, 0->2, 1->2, 2->3, 3 dangling, 4->0 (feeder)
+    edges = [(0, 1), (0, 2), (1, 2), (2, 3), (4, 0)]
+    d, n = 0.85, 5
+    M = np.zeros((n, n))
+    for s, t in edges:
+        M[t, s] = 1.0
+    deg = M.sum(axis=0)
+    r = np.full(n, 1.0 / n)
+    for _ in range(60):
+        shares = np.where(deg > 0, r / np.maximum(deg, 1), 0.0)
+        inflow = M @ shares
+        dangling = r[deg == 0].sum()
+        r = (1 - d) / n + d * (inflow + dangling / n)
+    log: list = []
+    got = {
+        row["node"]: row["rank"]
+        for row in pagerank(
+            spark.createDataFrame(edges, "src long, dst long"),
+            max_iter=60, tol=1e-12, iteration_log=log,
+        ).collect()
+    }
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for i in range(n):
+        assert abs(got[i] - r[i]) < 1e-9, (i, got[i], r[i])
+    assert log and log[-1]["l1_delta"] < 1e-9  # converged, logged
+
+
+def test_pagerank_undirected_symmetry(spark):
+    """On an undirected path a-b-c the endpoints tie and the middle
+    dominates; early tol exit stops the loop."""
+    from neuroner_spark.operators.graph_rank import pagerank
+
+    log: list = []
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            spark.createDataFrame([(1, 2), (2, 3)], "src long, dst long"),
+            # L1 delta decays geometrically at rate ~d=0.85, so a
+            # modest tol demonstrates the early exit within 50 rounds
+            undirected=True, max_iter=50, tol=1e-3, iteration_log=log,
+        ).collect()
+    }
+    assert abs(got[1] - got[3]) < 1e-9
+    assert got[2] > got[1]
+    assert len(log) < 50  # tol exit fired
+
+
+def test_entity_pagerank_over_store(spark, tmp_path):
+    """The store consumer ranks canonical entities through the re-key
+    view: after a merge, the retired id never appears."""
+    import datetime as dt
+
+    from neuroner_spark.operators.graph_rank import entity_pagerank
+    from neuroner_spark.plans.catalog_kg import _aliases
+    from neuroner_spark.plans.kg_pipeline import run_incremental_kg
+
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [
+            ("https://a/1", ts, "the merge sort beats the window and the table scan here", "en"),
+            ("https://a/2", ts, "the hash join meets the table scan and the stream there", "en"),
+        ],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    store = str(tmp_path / "kg")
+    run_incremental_kg(spark, pages, _aliases(spark), store, 0)
+    run_incremental_kg(
+        spark,
+        pages.limit(0),
+        _aliases(spark),
+        store,
+        1,
+        new_sameas_edges=spark.createDataFrame([(5, 6)], "src long, dst long"),
+    )
+    ranks = {r["node"]: r["rank"] for r in entity_pagerank(spark, store).collect()}
+    assert ranks and 6 not in ranks  # retired id resolved away
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
