@@ -284,3 +284,64 @@ def test_entity_pagerank_over_store(spark, tmp_path):
     ranks = {r["node"]: r["rank"] for r in entity_pagerank(spark, store).collect()}
     assert ranks and 6 not in ranks  # retired id resolved away
     assert abs(sum(ranks.values()) - 1.0) < 1e-9
+
+
+def test_er_metrics_match_python_model(spark):
+    """pairwise_prf and bcubed_prf vs brute-force Python computation on
+    a clustering with a split, a merge, and singletons (the classic ER
+    error shapes); perfect clustering scores 1.0 everywhere."""
+    from itertools import combinations
+
+    from neuroner_spark.operators.er_metrics import bcubed_prf, pairwise_prf
+
+    # gold: {1,2,3}, {4,5}, {6}; pred: splits the first, merges the rest
+    gold = [(1, "g1"), (2, "g1"), (3, "g1"), (4, "g2"), (5, "g2"), (6, "g3")]
+    pred = [(1, 10), (2, 10), (3, 30), (4, 20), (5, 20), (6, 20)]
+
+    def model_pairwise():
+        gl, pl = dict(gold), dict(pred)
+        ids = sorted(gl)
+        tp = fp = fn = 0
+        for a, b in combinations(ids, 2):
+            same_p, same_g = pl[a] == pl[b], gl[a] == gl[b]
+            tp += same_p and same_g
+            fp += same_p and not same_g
+            fn += same_g and not same_p
+        p = tp / (tp + fp) if tp + fp else 1.0
+        r = tp / (tp + fn) if tp + fn else 1.0
+        return p, r
+
+    def model_bcubed():
+        gl, pl = dict(gold), dict(pred)
+        ids = sorted(gl)
+        ps, rs = [], []
+        for i in ids:
+            pc = [j for j in ids if pl[j] == pl[i]]
+            gc = [j for j in ids if gl[j] == gl[i]]
+            inter = len(set(pc) & set(gc))
+            ps.append(inter / len(pc))
+            rs.append(inter / len(gc))
+        return sum(ps) / len(ps), sum(rs) / len(rs)
+
+    pred_df = spark.createDataFrame(pred, "entity_id long, canonical_id long")
+    gold_df = spark.createDataFrame(gold, "entity_id long, label string")
+    got_pw = pairwise_prf(pred_df, gold_df)
+    mp, mr = model_pairwise()
+    assert abs(got_pw["precision"] - mp) < 1e-12 and abs(got_pw["recall"] - mr) < 1e-12
+    got_b3 = bcubed_prf(pred_df, gold_df)
+    bp, br = model_bcubed()
+    assert abs(got_b3["precision"] - bp) < 1e-12 and abs(got_b3["recall"] - br) < 1e-12
+    # perfect clustering (labels renamed — label identity is irrelevant)
+    perfect = spark.createDataFrame(
+        [(i, {"g1": 7, "g2": 8, "g3": 9}[l]) for i, l in gold],
+        "entity_id long, canonical_id long",
+    )
+    for m in (pairwise_prf(perfect, gold_df), bcubed_prf(perfect, gold_df)):
+        assert m["precision"] == m["recall"] == m["f1"] == 1.0
+    # all-singletons: pairwise precision 1.0 by convention (no predicted
+    # pairs), recall 0 on the non-trivial gold
+    singles = spark.createDataFrame(
+        [(i, i) for i, _ in gold], "entity_id long, canonical_id long"
+    )
+    s = pairwise_prf(singles, gold_df)
+    assert s["precision"] == 1.0 and s["recall"] == 0.0
