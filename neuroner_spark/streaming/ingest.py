@@ -71,6 +71,7 @@ def run_streaming_pipeline(
     contamination_threshold: float = 0.05,
     dedup_store_dir: str | None = None,
     verb_lexicon: list[str] | None = None,
+    canonical_store_dir: str | None = None,
 ) -> None:
     """foreachBatch KG pipeline: each micro-batch of pages runs the
     batch stages (normalize -> tokenize -> match -> link -> triples)
@@ -81,6 +82,15 @@ def run_streaming_pipeline(
 
     ``verb_lexicon``: opt-in OpenIE-lite verb predicates, same contract
     as the batch pipeline (``verb_triples_from_mentions``).
+
+    ``canonical_store_dir``: use the incremental issued-id store's
+    LATEST mapping (``run_incremental_canonical`` layout) as the
+    canonicalization instead of deriving it from the alias dict —
+    streaming triples then share one id space with the batch stores,
+    and ``read_kg_triples``-style re-keying applies to them too.
+    Snapshotted once at stream start (micro-batches within one run see
+    one consistent mapping; restart the stream to pick up newer ids).
+    Entities absent from the store identity-map, like the batch path.
 
     Intake gates (the corpus-prep filters applied AT ingest, so junk
     never reaches the KG stages): ``min_quality`` drops pages below
@@ -120,7 +130,31 @@ def run_streaming_pipeline(
 
     if mention_source == "neural" and bundle is None:
         raise ValueError("mention_source='neural' requires a weight bundle")
-    canon = canonical_map(alias_dict)
+    if canonical_store_dir is not None:
+        from neuroner_spark.plans.kg_pipeline import _snapshot_dirs
+
+        snaps = _snapshot_dirs(
+            os.path.join(canonical_store_dir, "mapping"), "snapshot"
+        )
+        if not snaps:
+            raise FileNotFoundError(
+                f"no mapping snapshots under {canonical_store_dir}/mapping"
+            )
+        issued = spark.read.parquet(snaps[-1][1]).withColumnRenamed(
+            "canonical_id", "_c"
+        )
+        canon = (
+            alias_dict.select("entity_id")
+            .distinct()
+            .join(issued, "entity_id", "left")
+            .select(
+                "entity_id",
+                F.coalesce("_c", F.col("entity_id")).alias("canonical_id"),
+            )
+            .localCheckpoint()  # one read at stream start, not per batch
+        )
+    else:
+        canon = canonical_map(alias_dict)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():

@@ -572,3 +572,46 @@ def test_streaming_pipeline_verb_predicates(spark, tmp_path):
     }
     assert preds & set(DEFAULT_VERB_LEXICON), preds
     assert {"same_sentence_as", "co_occurs_with"} <= preds
+
+
+def test_streaming_uses_issued_canonical_store(spark, tmp_path):
+    """canonical_store_dir= snapshots the issued-id mapping at stream
+    start: after a batch-side merge of entities 5 and 6, streaming
+    triples never emit the retired id 6 — one id space across the
+    batch and streaming paths."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.plans.catalog_kg import _aliases
+    from neuroner_spark.plans.kg_pipeline import run_incremental_canonical
+    from neuroner_spark.streaming.ingest import run_streaming_pipeline
+
+    canon_store = str(tmp_path / "canon")
+    edges = spark.createDataFrame(
+        [(e, e) for e in range(1, 12)] + [(5, 6)], "src long, dst long"
+    )
+    run_incremental_canonical(spark, edges, canon_store, 0)
+
+    landing = str(tmp_path / "landing")
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    spark.createDataFrame(
+        [("https://s/1", ts, "the merge sort beats the window and the table scan here", "en")],
+        "url string, warc_ts timestamp, text string, lang string",
+    ).write.parquet(landing)
+    out = str(tmp_path / "triples")
+    run_streaming_pipeline(
+        spark, landing, out, str(tmp_path / "ckpt"), _aliases(spark),
+        canonical_store_dir=canon_store,
+    )
+    t = spark.read.parquet(out)
+    ids = {
+        r["v"]
+        for r in t.select(F.col("subj").alias("v"))
+        .unionByName(t.select(F.col("obj").alias("v")))
+        .distinct()
+        .collect()
+    }
+    # merge sort AND window both canonicalize to 5; table scan (3)
+    # keeps the pair predicates alive
+    assert {3, 5} <= ids and 6 not in ids
