@@ -612,3 +612,61 @@ def test_prune_canonical_store(spark, tmp_path):
     r3 = run_incremental_canonical(spark, e([(40, 41)]), store, 3)
     m3 = {r["entity_id"]: r["canonical_id"] for r in r3["mapping"].collect()}
     assert m3 == {10: 10, 11: 10, 20: 10, 21: 10, 30: 30, 31: 30, 40: 40, 41: 40}
+
+
+def test_verb_triples_match_python_model_random(spark):
+    """Randomized (seeded) parity: verb_triples_from_mentions vs a
+    brute-force Python model over random sentences with random
+    non-overlapping mention spans — covers gap boundaries, multiple
+    verbs, adjacent spans, and multi-sentence docs in one sweep."""
+    import numpy as np
+
+    from neuroner_spark.plans.kg_pipeline import (
+        DEFAULT_VERB_LEXICON,
+        VERB_MAX_GAP,
+        verb_triples_from_mentions,
+    )
+
+    rng = np.random.default_rng(11)
+    lex = set(DEFAULT_VERB_LEXICON)
+    words = DEFAULT_VERB_LEXICON + ["the", "table", "row", "data", "fast", "x"]
+    tok_rows, m_rows = [], []
+    model = set()
+    for doc in range(30):
+        did = f"d{doc}"
+        for sent in range(int(rng.integers(1, 3))):
+            n_tok = int(rng.integers(6, 20))
+            toks = [words[int(rng.integers(0, len(words)))] for _ in range(n_tok)]
+            tok_rows += [(did, sent, i, t) for i, t in enumerate(toks)]
+            # place up to 3 non-overlapping mention spans
+            spans, cursor = [], 0
+            for _ in range(int(rng.integers(0, 4))):
+                start = cursor + int(rng.integers(0, 4))
+                width = int(rng.integers(1, 3))
+                if start + width > n_tok:
+                    break
+                ent = int(rng.integers(1, 6))
+                spans.append((start, width, ent))
+                cursor = start + width
+            m_rows += [(did, sent, p, w, e) for p, w, e in spans]
+            # model: ordered pairs, gap bound, first lexicon verb between
+            for (pa, wa, ea) in spans:
+                for (pb, wb, eb) in spans:
+                    end_a = pa + wa
+                    if pb >= end_a and pb - end_a <= VERB_MAX_GAP and ea != eb:
+                        between = [
+                            toks[v] for v in range(end_a, pb) if toks[v] in lex
+                        ]
+                        if between:
+                            model.add((did, ea, between[0], eb))
+    tokens = spark.createDataFrame(
+        tok_rows, "doc_id string, sent_id int, pos int, token string"
+    )
+    m = spark.createDataFrame(
+        m_rows, "doc_id string, sent_id int, pos int, n int, ent long"
+    )
+    got = {
+        (r["doc_id"], r["subj"], r["pred"], r["obj"])
+        for r in verb_triples_from_mentions(m, tokens, DEFAULT_VERB_LEXICON).collect()
+    }
+    assert got == model, (len(got), len(model), got ^ model)
