@@ -58,10 +58,13 @@ def pagerank(
     for i in range(max_iter):
         t0 = time.time()
         with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
-        # dangling nodes (no out-edges) donate their mass uniformly
-        dangling = (
-            with_deg.filter(F.col("deg").isNull()).agg(F.sum("rank")).collect()[0][0]
-            or 0.0
+        # dangling nodes (no out-edges) donate their mass uniformly —
+        # folded in as a LAZY broadcast scalar (a collect here would be
+        # an extra driver action per round; at small graphs the
+        # per-round actions, not the joins, are the wall)
+        dang_frame = (
+            with_deg.filter(F.col("deg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
         )
         contribs = (
             with_deg.filter(F.col("deg").isNotNull())
@@ -70,29 +73,36 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
-        base = (1.0 - damping) / n + damping * dangling / n
         new_ranks = (
             nodes.join(contribs, "node", "left")
+            .crossJoin(F.broadcast(dang_frame))
             .select(
                 "node",
-                (F.lit(base) + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.col("_dang") / n
+                    + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
+                ).alias("rank"),
             )
             .localCheckpoint()
         )
-        delta = (
-            ranks.withColumnRenamed("rank", "r0")
-            .join(new_ranks, "node")
-            .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
-            .collect()[0][0]
-        )
+        # the L1-delta convergence check is the round's ONLY driver
+        # action; fixed-iteration callers (tol<=0) skip it entirely
+        delta = None
+        if tol > 0:
+            delta = (
+                ranks.withColumnRenamed("rank", "r0")
+                .join(new_ranks, "node")
+                .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
+                .collect()[0][0]
+            )
         ranks = new_ranks
         if iteration_log is not None:
-            iteration_log.append(
-                {"iter": i, "l1_delta": float(delta), "wall_sec": round(time.time() - t0, 3)}
-            )
-        if delta < tol:
+            entry = {"iter": i, "wall_sec": round(time.time() - t0, 3)}
+            if delta is not None:
+                entry["l1_delta"] = float(delta)
+            iteration_log.append(entry)
+        if delta is not None and delta < tol:
             break
     return ranks
 

@@ -56,6 +56,34 @@ def _aliases(spark):
     return spark.createDataFrame(ALIAS_DICT, schema)
 
 
+# r6 typed-verb whitelist fixture: raw dictionary types for the 11
+# entities above.  Entities 1 (Apache Spark, ORG) and 2 (Spark Plug,
+# PRODUCT) share the 'spark' alias and canonicalize into ONE id — a
+# deliberate ORG/PRODUCT tie that exerces canonical_entity_types'
+# mode + min-type tie-break (resolves to ORG).
+ENTITY_TYPES = [
+    (1, "ORG"), (2, "PRODUCT"), (3, "OP"), (4, "OP"), (5, "OP"),
+    (6, "OP"), (7, "PRODUCT"), (8, "OP"), (9, "OP"), (10, "OP"),
+    (11, "PRODUCT"),
+]
+
+# (verb, subj_type, obj_type) whitelist — every verb relates operators;
+# only query/plan take an ORG subject; filter takes a PRODUCT subject;
+# batch takes a PRODUCT object.  Chosen so the typed family is
+# non-empty AND strictly smaller than the untyped one at sf0.01.
+VERB_TYPE_CONSTRAINTS = [
+    ("agg", "OP", "OP"), ("batch", "OP", "OP"), ("filter", "OP", "OP"),
+    ("group", "OP", "OP"), ("order", "OP", "OP"), ("plan", "OP", "OP"),
+    ("query", "OP", "OP"),
+    ("query", "ORG", "OP"), ("plan", "ORG", "OP"),
+    ("filter", "PRODUCT", "OP"), ("batch", "OP", "PRODUCT"),
+]
+
+
+def _entity_types(spark):
+    return spark.createDataFrame(ENTITY_TYPES, "entity_id long, entity_type string")
+
+
 def _alias_values_cte() -> str:
     vals = ",\n    ".join(
         f"('{a}', '{an}', {eid}, '{cn}', {p!r})" for a, an, eid, cn, p in ALIAS_DICT
@@ -221,8 +249,19 @@ def q_neural_tag_spans(spark, sf_dir):
     )
 
 
+def _etype_values_cte() -> str:
+    vals = ", ".join(f"({eid}, '{t}')" for eid, t in ENTITY_TYPES)
+    cons = ", ".join(
+        f"('{v}', '{s}', '{o}')" for v, s, o in VERB_TYPE_CONSTRAINTS
+    )
+    return (
+        f", etypes(entity_id, etype) AS (SELECT * FROM (VALUES {vals}))\n"
+        f", vcons(vtok, subj_type, obj_type) AS (SELECT * FROM (VALUES {cons}))\n"
+    )
+
+
 # WITH RECURSIVE must head the statement for the closure CTE below
-SQL_KG_TRIPLES = _ngram_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
+SQL_KG_TRIPLES = _ngram_cte().replace("WITH ", "WITH RECURSIVE ", 1) + _etype_values_cte() + """
 , cands AS (
   SELECT m.doc_id, m.sent_id, m.pos, m.n, m.surface_norm, a.entity_id, a.prior
   FROM mentions m JOIN alias_dict a ON m.surface_norm = a.alias_norm
@@ -261,18 +300,32 @@ SQL_KG_TRIPLES = _ngram_cte().replace("WITH ", "WITH RECURSIVE ", 1) + """
   SELECT doc_id, sent_id, pos AS vpos, lower(token) AS vtok
   FROM labeled
   WHERE lower(token) IN ('agg', 'batch', 'filter', 'group', 'order', 'plan', 'query')
+), ctypes AS (  -- canonical type = mode of member types, min-type tie-break
+  SELECT canonical_id AS ent, etype FROM (
+    SELECT cn.canonical_id, t.etype,
+           row_number() OVER (PARTITION BY cn.canonical_id
+                              ORDER BY count(*) DESC, t.etype ASC) AS rn
+    FROM (SELECT DISTINCT entity_id, etype FROM etypes) t
+    JOIN canon cn ON t.entity_id = cn.entity_id
+    GROUP BY cn.canonical_id, t.etype
+  ) WHERE rn = 1
 ), vpairs AS (  -- DIRECTED: subj = left mention, obj starts <= gap after it ends
   SELECT x.doc_id, x.sent_id, x.pos AS pos_a, x.pos + x.n AS end_a,
-         y.pos AS pos_b, x.ent AS subj, y.ent AS obj
+         y.pos AS pos_b, x.ent AS subj, y.ent AS obj,
+         ts.etype AS subj_type, tob.etype AS obj_type
   FROM m x JOIN m y ON x.doc_id = y.doc_id AND x.sent_id = y.sent_id
    AND y.pos >= x.pos + x.n AND y.pos - (x.pos + x.n) <= 8 AND x.ent <> y.ent
-), vtrip AS (  -- pred = the lexicon verb nearest the subject, strictly between
+  JOIN ctypes ts ON ts.ent = x.ent
+  JOIN ctypes tob ON tob.ent = y.ent
+), vtrip AS (  -- pred = nearest ALLOWED verb (typed whitelist), strictly between
   SELECT DISTINCT doc_id, subj, vtok AS pred, obj FROM (
     SELECT p.doc_id, p.subj, p.obj, v.vtok,
            row_number() OVER (PARTITION BY p.doc_id, p.sent_id, p.pos_a, p.pos_b
                               ORDER BY v.vpos) AS rn
     FROM vpairs p JOIN verbs v ON p.doc_id = v.doc_id AND p.sent_id = v.sent_id
      AND v.vpos >= p.end_a AND v.vpos < p.pos_b
+    JOIN vcons c ON c.vtok = v.vtok AND c.subj_type = p.subj_type
+     AND c.obj_type = p.obj_type
   ) WHERE rn = 1
 ), trip AS (
   SELECT DISTINCT doc_id, subj, obj, 'same_sentence_as' AS pred FROM sent_pairs
@@ -292,7 +345,9 @@ SELECT subj, pred, obj, doc_id AS url FROM trip
 
 def q_kg_triples(spark, sf_dir):
     """Full gazetteer KG pipeline over documents -> distinct triples,
-    incl. the r6 verb-mediated predicate family (DEFAULT_VERB_LEXICON)."""
+    incl. the r6 verb-mediated predicate family (DEFAULT_VERB_LEXICON)
+    under the TYPED whitelist (VERB_TYPE_CONSTRAINTS): pred = nearest
+    verb allowed for the pair's canonical (subj_type, obj_type)."""
     from neuroner_spark.plans.kg_pipeline import (
         DEFAULT_VERB_LEXICON,
         canonical_map,
@@ -309,7 +364,13 @@ def q_kg_triples(spark, sf_dir):
         F.lit(None).cast("timestamp").alias("warc_ts"),
     )
     return triples_from_linked(
-        linked, canon, docs, verb_lexicon=DEFAULT_VERB_LEXICON, tokens=tokens
+        linked,
+        canon,
+        docs,
+        verb_lexicon=DEFAULT_VERB_LEXICON,
+        tokens=tokens,
+        entity_types=_entity_types(spark),
+        verb_type_constraints=VERB_TYPE_CONSTRAINTS,
     ).select("subj", "pred", "obj", "url")
 
 

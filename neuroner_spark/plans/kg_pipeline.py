@@ -246,11 +246,40 @@ def co_occurrence_capped_docs(
     )
 
 
+def canonical_entity_types(entity_types: DataFrame, canon: DataFrame) -> DataFrame:
+    """(entity_id, entity_type) + (entity_id, canonical_id) ->
+    (ent, etype): the canonical entity's type is the MODE of its member
+    entities' types, ties broken by the lexicographically smallest type
+    (deterministic — a canonical id merged from an ORG and a PRODUCT
+    alias always resolves the same way).
+
+    Plan: two keyed aggregations on canonical_id — the type table is
+    dictionary-sized, nothing here touches the corpus."""
+    member = (
+        entity_types.select("entity_id", "entity_type")
+        .distinct()
+        .join(canon, "entity_id")
+    )
+    counts = member.groupBy("canonical_id", "entity_type").agg(
+        F.count("*").alias("_n")
+    )
+    # argmax(count) with min-type tie-break == min_by over the struct
+    # (-count, type): struct comparison is lexicographic
+    return counts.groupBy("canonical_id").agg(
+        F.min_by(
+            "entity_type",
+            F.struct((-F.col("_n")).alias("_neg"), F.col("entity_type").alias("_t")),
+        ).alias("etype")
+    ).select(F.col("canonical_id").alias("ent"), "etype")
+
+
 def verb_triples_from_mentions(
     m: DataFrame,
     tokens: DataFrame,
     verb_lexicon: list[str],
     verb_max_gap: int = VERB_MAX_GAP,
+    entity_types: DataFrame | None = None,
+    type_constraints: list[tuple] | DataFrame | None = None,
 ) -> DataFrame:
     """OpenIE-lite verb-mediated triples from canonicalized mentions.
 
@@ -260,6 +289,17 @@ def verb_triples_from_mentions(
     obj a mention starting at most ``verb_max_gap`` tokens after the
     subject span ends, pred = the lexicon verb token nearest the
     subject strictly between the two spans.  Distinct per doc.
+
+    ``type_constraints`` (opt-in precision knob, r6): a whitelist of
+    (pred, subj_type, obj_type) rows — the NER types the reference's
+    tagger emits make this natural (PER-employed_by-ORG, not
+    LOC-employed_by-DATE).  Requires ``entity_types``: a CANONICAL-id
+    type map (ent, etype), e.g. ``canonical_entity_types(...)``.
+    Semantics: pred = the nearest verb ALLOWED for the mention pair's
+    (subj_type, obj_type) — an earlier non-allowed verb is skipped, so
+    constraining changes pred selection, not just post-filters.
+    Closed-world: mentions with no type row cannot satisfy a whitelist
+    and drop from this family only (inner joins below).
 
     Plan shape at 10^12 pages:
       - the verb stream is the token scan FILTERED BY THE LEXICON
@@ -285,6 +325,28 @@ def verb_triples_from_mentions(
     b = m.select(
         "doc_id", "sent_id", F.col("pos").alias("pos_b"), F.col("ent").alias("obj")
     )
+    if type_constraints is not None:
+        if entity_types is None:
+            raise ValueError("type_constraints requires entity_types")
+        # type the mention streams BEFORE pairing: the type map is
+        # dictionary-sized (broadcast), and typing early means the
+        # constraint filter below can prune pairs pre-aggregation
+        a = a.join(
+            F.broadcast(
+                entity_types.select(
+                    F.col("ent").alias("subj"), F.col("etype").alias("subj_type")
+                )
+            ),
+            "subj",
+        )
+        b = b.join(
+            F.broadcast(
+                entity_types.select(
+                    F.col("ent").alias("obj"), F.col("etype").alias("obj_type")
+                )
+            ),
+            "obj",
+        )
     pairs = a.join(b, ["doc_id", "sent_id"]).filter(
         (F.col("pos_b") >= F.col("end_a"))
         & (F.col("pos_b") - F.col("end_a") <= verb_max_gap)
@@ -299,6 +361,20 @@ def verb_triples_from_mentions(
     between = pairs.join(verbs, ["doc_id", "sent_id"]).filter(
         (F.col("vpos") >= F.col("end_a")) & (F.col("vpos") < F.col("pos_b"))
     )
+    if type_constraints is not None:
+        cons = type_constraints
+        if not isinstance(cons, DataFrame):
+            cons = m.sparkSession.createDataFrame(
+                list(cons), "vtok string, subj_type string, obj_type string"
+            )
+        else:
+            cons = cons.toDF("vtok", "subj_type", "obj_type")
+        # whitelist rows are distinct by contract; the inner broadcast
+        # join both filters AND implements nearest-ALLOWED-verb (the
+        # min_by below only ever sees allowed candidates)
+        between = between.join(
+            F.broadcast(cons.distinct()), ["vtok", "subj_type", "obj_type"]
+        )
     return (
         between.groupBy("doc_id", "sent_id", "pos_a", "pos_b", "subj", "obj")
         .agg(F.min_by("vtok", "vpos").alias("pred"))
@@ -316,6 +392,8 @@ def triples_from_linked(
     verb_lexicon: list[str] | None = None,
     tokens: DataFrame | None = None,
     verb_max_gap: int = VERB_MAX_GAP,
+    entity_types: DataFrame | None = None,
+    verb_type_constraints: list[tuple] | DataFrame | None = None,
 ) -> DataFrame:
     """linked mentions -> (subj, pred, obj, url, warc_ts) distinct.
 
@@ -337,7 +415,12 @@ def triples_from_linked(
     predicate family (``verb_triples_from_mentions``) to the output —
     the verb branch reads the SAME materialized mention frame the
     positional branches do, plus one lexicon-filtered pass over the
-    token stream."""
+    token stream.
+
+    ``verb_type_constraints`` + ``entity_types``: the r6 typed-verb
+    precision knob — ``entity_types`` is the RAW dictionary type map
+    (entity_id, entity_type); it is canonicalized against ``canon``
+    here (``canonical_entity_types``) before reaching the verb branch."""
     # span width (n) rides along only for the verb branch — callers
     # without it (and without verb_lexicon) may pass n-less mentions
     sel = ["doc_id", "sent_id", "pos"] + (["n"] if verb_lexicon is not None else [])
@@ -402,8 +485,20 @@ def triples_from_linked(
     if verb_lexicon is not None:
         if tokens is None:
             raise ValueError("verb_lexicon requires the tokens frame")
+        ctypes = (
+            canonical_entity_types(entity_types, canon)
+            if verb_type_constraints is not None and entity_types is not None
+            else None
+        )
         trip = trip.unionByName(
-            verb_triples_from_mentions(m, tokens, verb_lexicon, verb_max_gap)
+            verb_triples_from_mentions(
+                m,
+                tokens,
+                verb_lexicon,
+                verb_max_gap,
+                entity_types=ctypes,
+                type_constraints=verb_type_constraints,
+            )
         )
     meta = pages_meta.select(F.col("url").alias("doc_id"), "warc_ts")
     return trip.join(meta, "doc_id").select(
@@ -454,6 +549,8 @@ def run_pipeline(
     verb_lexicon: list[str] | None = None,
     verb_max_gap: int = VERB_MAX_GAP,
     canonical: DataFrame | None = None,
+    entity_types: DataFrame | None = None,
+    verb_type_constraints: list[tuple] | None = None,
 ) -> dict:
     """Run all stages with checkpoint/resume; returns
     {'triples': DataFrame, 'entities': DataFrame, 'lineage': [...]}.
@@ -465,6 +562,10 @@ def run_pipeline(
     verb_lexicon: opt-in OpenIE-lite verb-predicate family (see
     ``verb_triples_from_mentions``); changes the triples stage
     fingerprint, so toggling it invalidates the checkpoint.
+    verb_type_constraints (+ entity_types, a raw (entity_id,
+    entity_type) dictionary map): opt-in typed-verb whitelist — the
+    constraint rows are fingerprinted into the triples stage, so
+    editing the whitelist invalidates the checkpoint.
     canonical: injected (entity_id, canonical_id) mapping replacing the
     alias-dict-derived canonical_map — the incremental path threads the
     issued-id store through here; content-fingerprinted into every
@@ -530,6 +631,10 @@ def run_pipeline(
         if verb_lexicon is not None
         else ""
     )
+    if verb_type_constraints is not None:
+        fp_verbs += ":tc=" + ",".join(
+            "|".join(t) for t in sorted(map(tuple, verb_type_constraints))
+        )
     triples = stage(
         "triples",
         fp_linked + "|" + fp_canon + f"|triples:w={NEAR_WINDOW}:cap={max_entities_per_doc}" + fp_verbs,
@@ -541,6 +646,8 @@ def run_pipeline(
             verb_lexicon=verb_lexicon,
             tokens=tokens,
             verb_max_gap=verb_max_gap,
+            entity_types=entity_types,
+            verb_type_constraints=verb_type_constraints,
         ),
     )
     # skew-cap audit trail: docs excluded from co_occurs_with pairing,

@@ -74,5 +74,78 @@ def main() -> None:
     print("iters:", [x["wall_sec"] for x in log])
 
 
+
+
+
+def two_size(n: int, e: int, iters: int, small: int = 2, repeats: int = 3) -> None:
+    """N->4N legs for the ranking loop: same graph, fresh JVM per leg
+    (subprocess), medians + probes; appends to the artifact.
+
+    shuffle_partitions is max(cpus, 8) on BOTH legs (the
+    corpus_scaling.py convention) so the two legs shuffle the same
+    partition count and differ only in parallelism — otherwise the
+    small leg's coarser partitions confound the comparison."""
+    import statistics
+    import subprocess
+
+    job = f"""
+import json, sys, time
+sys.path.insert(0, {REPO!r})
+from neuroner_spark.session import get_spark
+from pyspark.sql import functions as F
+from neuroner_spark.operators.graph_rank import pagerank
+def probe():
+    t0 = time.perf_counter(); x = 0
+    for i in range(2_000_000): x += i * i % 7
+    return round(time.perf_counter() - t0, 3)
+cpus = sys.argv[1]
+spark = get_spark("pr_scale", cores=cpus, shuffle_partitions=max(int(cpus), 8),
+                  extra_conf={{"spark.ui.showConsoleProgress": "false"}})
+edges = spark.range({e}).select(
+    (F.xxhash64("id") % {n}).alias("src"),
+    (F.col("id") % F.greatest((F.xxhash64("id", F.lit(1)) % 1000) % 97 + 1, F.lit(1))).alias("dst"),
+).select(F.abs("src").alias("src"), F.abs("dst").alias("dst")).localCheckpoint()
+p0 = probe(); t0 = time.time()
+pagerank(edges, max_iter={iters}, tol=0.0).count()
+print(json.dumps({{"wall_s": round(time.time()-t0, 3), "probe_sec": [p0, probe()]}}))
+"""
+    env = dict(os.environ)
+    for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+        env[v] = "1"
+    legs: dict = {small: [], 4 * small: []}
+    for _ in range(repeats):
+        for cpus in (small, 4 * small):
+            out = subprocess.run(
+                [sys.executable, "-c", job, str(cpus)],
+                capture_output=True, text=True, env=env, cwd=REPO, check=True,
+            )
+            res = json.loads(out.stdout.strip().splitlines()[-1])
+            legs[cpus].append(res)
+            print(f"local[{cpus}]: {res}")
+            sys.stdout.flush()
+    med = {c: statistics.median(x["wall_s"] for x in v) for c, v in legs.items()}
+    eff = round((med[small] / med[4 * small]) / 4, 3)
+    path = os.path.join(REPO, "BENCH", "pagerank_scale.json")
+    with open(path) as f:
+        d = json.load(f)
+    d["two_size"] = {
+        "n_nodes": n, "n_edges": e, "iterations": iters,
+        "legs": {f"local[{c}]": v for c, v in legs.items()},
+        "median_wall_s": {f"local[{c}]": m for c, m in med.items()},
+        "efficiency_N_to_4N": eff,
+    }
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1)
+    print(json.dumps(d["two_size"]["median_wall_s"]), "efficiency:", eff)
+
+
 if __name__ == "__main__":
-    main()
+    if "--two-size" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        two_size(
+            int(args[0]) if args else 1_000_000,
+            int(args[1]) if len(args) > 1 else 10_000_000,
+            int(args[2]) if len(args) > 2 else 5,
+        )
+    else:
+        main()

@@ -365,6 +365,84 @@ def test_verb_triples_semantics(spark):
     )
 
 
+def test_verb_type_constraints_semantics(spark):
+    """r6 typed-verb whitelist: pred = nearest ALLOWED verb (earlier
+    disallowed verbs are skipped, not fatal), non-whitelisted type
+    pairs drop, and untyped mentions drop (closed-world)."""
+    from neuroner_spark.plans.kg_pipeline import (
+        DEFAULT_VERB_LEXICON,
+        verb_triples_from_mentions,
+    )
+
+    # sentence: Alder Analytics group the Birch Systems filter Cedar Works
+    #           0     1         2     3   4     5       6      7     8
+    toks = [
+        "Alder", "Analytics", "group", "the", "Birch", "Systems",
+        "filter", "Cedar", "Works",
+    ]
+    tokens = spark.createDataFrame(
+        [("d1", 0, i, t) for i, t in enumerate(toks)],
+        "doc_id string, sent_id int, pos int, token string",
+    )
+    m = spark.createDataFrame(
+        [("d1", 0, 0, 2, 1), ("d1", 0, 4, 2, 2), ("d1", 0, 7, 2, 3)],
+        "doc_id string, sent_id int, pos int, n int, ent long",
+    )
+    types = spark.createDataFrame(
+        [(1, "ORG"), (2, "OP"), (3, "OP")], "ent long, etype string"
+    )
+
+    def run(cons, ty=types):
+        return {
+            (r["subj"], r["pred"], r["obj"])
+            for r in verb_triples_from_mentions(
+                m, tokens, DEFAULT_VERB_LEXICON,
+                entity_types=ty, type_constraints=cons,
+            ).collect()
+        }
+
+    # only OP->OP via 'filter' allowed: the ORG-subject pairs drop
+    assert run([("filter", "OP", "OP")]) == {(2, "filter", 3)}
+    # nearest-ALLOWED semantics: for pair 1->3 the nearest verb is
+    # 'group' (disallowed) — the allowed 'filter' further out wins;
+    # pair 1->2 has ONLY 'group' between -> drops entirely
+    assert run([("filter", "ORG", "OP")]) == {(1, "filter", 3)}
+    # vs the untyped pred for the same pair (the knob changes selection)
+    untyped = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in verb_triples_from_mentions(m, tokens, DEFAULT_VERB_LEXICON).collect()
+    }
+    assert (1, "group", 3) in untyped
+    # closed-world: ent 2 has no type row -> its pairs drop even under
+    # a fully-permissive whitelist for the typed entities
+    no2 = spark.createDataFrame([(1, "ORG"), (3, "OP")], "ent long, etype string")
+    allow_all = [(v, s, o) for v in DEFAULT_VERB_LEXICON
+                 for s in ("ORG", "OP") for o in ("ORG", "OP")]
+    assert run(allow_all, ty=no2) == {(1, "group", 3)}
+    # empty whitelist -> empty family (never an error)
+    assert run([("nosuchverb", "ORG", "OP")]) == set()
+
+
+def test_canonical_entity_types_mode_tiebreak(spark):
+    """canonical_entity_types: mode of member types per canonical id,
+    ties resolved to the lexicographically smallest type."""
+    from neuroner_spark.plans.kg_pipeline import canonical_entity_types
+
+    raw = spark.createDataFrame(
+        [(1, "ORG"), (2, "PRODUCT"), (3, "OP"), (4, "ORG"), (5, "ORG"),
+         (6, "PRODUCT")],
+        "entity_id long, entity_type string",
+    )
+    canon = spark.createDataFrame(
+        # group 10 = {1,2}: ORG/PRODUCT tie -> ORG (min);
+        # group 20 = {4,5,6}: ORG x2 beats PRODUCT x1; 3 is a singleton
+        [(1, 10), (2, 10), (3, 3), (4, 20), (5, 20), (6, 20)],
+        "entity_id long, canonical_id long",
+    )
+    got = {r["ent"]: r["etype"] for r in canonical_entity_types(raw, canon).collect()}
+    assert got == {10: "ORG", 3: "OP", 20: "ORG"}
+
+
 def test_pipeline_verb_lexicon_fingerprint(spark, tmp_path):
     """Toggling verb_lexicon invalidates ONLY the triples stage
     (fingerprint change); the verb-on run emits lexicon preds."""
