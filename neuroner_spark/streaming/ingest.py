@@ -72,6 +72,8 @@ def run_streaming_pipeline(
     dedup_store_dir: str | None = None,
     verb_lexicon: list[str] | None = None,
     canonical_store_dir: str | None = None,
+    incremental_canonical: bool = False,
+    sameas_evidence_fn=None,
 ) -> None:
     """foreachBatch KG pipeline: each micro-batch of pages runs the
     batch stages (normalize -> tokenize -> match -> link -> triples)
@@ -91,6 +93,26 @@ def run_streaming_pipeline(
     Snapshotted once at stream start (micro-batches within one run see
     one consistent mapping; restart the stream to pick up newer ids).
     Entities absent from the store identity-map, like the batch path.
+
+    ``incremental_canonical=True`` (r6): instead of a read-only
+    stream-start snapshot, each micro-batch RUNS
+    ``run_incremental_canonical`` against ``canonical_store_dir``
+    (required) before building its triples — merges discovered
+    mid-stream retire ids immediately, the batch's triples are written
+    under the updated mapping, and the retirements land as the
+    snapshot's ``superseded`` side output (the append-only audit
+    record ``read_streaming_triples`` re-keys earlier batches by).
+    Evidence per batch = the alias dictionary's share-an-alias edges +
+    identity self-edges (``run_incremental_kg``'s rule — already-merged
+    components re-enter as self-loops and cost nothing; the CC runs
+    over dictionary-sized evidence, never the corpus), plus whatever
+    ``sameas_evidence_fn(batch_df, batch_id) -> DataFrame(src, dst) |
+    None`` derives from the batch (cross-snapshot discoveries, e.g. a
+    fuzzy-link reviewer's confirmations).  Store contract: canonical
+    snapshot id = batch_id + 1 — snapshot 0 is reserved for an
+    optional batch-side seed (``run_incremental_canonical(...,
+    snapshot_id=0)``), and a retried micro-batch overwrites its own
+    snapshot partition, keeping the gate retry-idempotent.
 
     Intake gates (the corpus-prep filters applied AT ingest, so junk
     never reaches the KG stages): ``min_quality`` drops pages below
@@ -130,7 +152,11 @@ def run_streaming_pipeline(
 
     if mention_source == "neural" and bundle is None:
         raise ValueError("mention_source='neural' requires a weight bundle")
-    if canonical_store_dir is not None:
+    if incremental_canonical:
+        if canonical_store_dir is None:
+            raise ValueError("incremental_canonical requires canonical_store_dir")
+        canon = None  # resolved per micro-batch below
+    elif canonical_store_dir is not None:
         from neuroner_spark.plans.kg_pipeline import _snapshot_dirs
 
         snaps = _snapshot_dirs(
@@ -254,6 +280,36 @@ def run_streaming_pipeline(
             )
             if batch_df.isEmpty():
                 return
+        if incremental_canonical:
+            # fold this batch's same-as evidence into the issued-id
+            # store BEFORE building triples: merges retire ids now,
+            # this batch writes under the updated mapping, and the
+            # snapshot's superseded partition is the audit record
+            # earlier batches re-key by (read_streaming_triples).
+            # The mapping/superseded frames round-trip through their
+            # own parquet partitions inside run_incremental_canonical,
+            # so nothing here pins executor storage across batches.
+            from neuroner_spark.plans.kg_pipeline import (
+                run_incremental_canonical,
+                sameas_edges_from_aliases,
+            )
+
+            edges = sameas_edges_from_aliases(alias_dict).unionByName(
+                alias_dict.select(F.col("entity_id").cast("long").alias("src"))
+                .distinct()
+                .withColumn("dst", F.col("src"))
+            )
+            if sameas_evidence_fn is not None:
+                ev = sameas_evidence_fn(batch_df, batch_id)
+                if ev is not None:
+                    edges = edges.unionByName(
+                        ev.select(F.col("src").cast("long"), F.col("dst").cast("long"))
+                    )
+            batch_canon = run_incremental_canonical(
+                spark, edges, canonical_store_dir, snapshot_id=batch_id + 1
+            )["mapping"]
+        else:
+            batch_canon = canon
         norm = normalize_pages(batch_df)
         tokens = tokenize(norm)
         if mention_source == "neural":
@@ -266,7 +322,7 @@ def run_streaming_pipeline(
         # release list — triples_from_linked's default localCheckpoint
         # would pin one unreleasable RDD PER MICRO-BATCH
         triples = triples_from_linked(
-            linked, canon, meta, pinned=pinned,
+            linked, batch_canon, meta, pinned=pinned,
             verb_lexicon=verb_lexicon, tokens=tokens,
         )
         # deterministic per-batch path + overwrite = retry-idempotent
@@ -282,3 +338,27 @@ def run_streaming_pipeline(
         .start()
     )
     q.awaitTermination()
+
+
+def read_streaming_triples(
+    spark: SparkSession, out_dir: str, canonical_store_dir: str
+) -> DataFrame:
+    """Consistent view over the STREAMING triple table (the
+    ``batch_id=<n>`` partitions ``run_streaming_pipeline`` writes),
+    re-keyed through the canonical store's cumulative superseded
+    chain — the streaming sibling of ``read_kg_triples``: a merge
+    discovered in micro-batch k retires ids that batches < k already
+    wrote; their partitions stay untouched (append-only audit record),
+    and this reader resolves them at read time.  The resolved
+    retirement table is merge-sized (broadcast in ``rekey_triples``),
+    so the view adds no shuffle over the store scan."""
+    from neuroner_spark.plans.kg_pipeline import (
+        _resolved_superseded,
+        rekey_triples,
+    )
+
+    triples = spark.read.parquet(out_dir)
+    resolved = _resolved_superseded(spark, canonical_store_dir)
+    if resolved is None:
+        return triples
+    return rekey_triples(triples, resolved)

@@ -615,3 +615,75 @@ def test_streaming_uses_issued_canonical_store(spark, tmp_path):
     # merge sort AND window both canonicalize to 5; table scan (3)
     # keeps the pair predicates alive
     assert {3, 5} <= ids and 6 not in ids
+
+
+def test_streaming_incremental_canonicalization(spark, tmp_path):
+    """incremental_canonical=True: each micro-batch folds its same-as
+    evidence into the issued-id store BEFORE building triples.  A
+    merge discovered in batch 1 (evidence fn) retires an id batch 0
+    already wrote; batch 0's partition is untouched (append-only),
+    and read_streaming_triples re-keys the whole view."""
+    import datetime as dt
+
+    from neuroner_spark.plans.catalog_kg import _aliases
+    from neuroner_spark.streaming.ingest import (
+        read_streaming_triples,
+        run_streaming_pipeline,
+    )
+
+    landing = str(tmp_path / "landing")
+    out = str(tmp_path / "triples")
+    ckpt = str(tmp_path / "ckpt")
+    canon_store = str(tmp_path / "canon")
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    schema = "url string, warc_ts timestamp, text string, lang string"
+
+    def page_ids(df):
+        return {
+            r["v"]
+            for r in df.select(F.col("subj").alias("v"))
+            .unionByName(df.select(F.col("obj").alias("v")))
+            .distinct()
+            .collect()
+        }
+
+    # drain 1 (batch 0, canonical snapshot 1): no extra evidence —
+    # merge sort (5), window (6), table scan (3) stay distinct ids
+    spark.createDataFrame(
+        [("https://s/1", ts, "the merge sort beats the window and the table scan here", "en")],
+        schema,
+    ).write.parquet(landing)
+    run_streaming_pipeline(
+        spark, landing, out, ckpt, _aliases(spark),
+        canonical_store_dir=canon_store, incremental_canonical=True,
+    )
+    raw1 = spark.read.parquet(out)
+    assert {3, 5, 6} <= page_ids(raw1)
+    assert os.path.isdir(os.path.join(canon_store, "mapping", "snapshot=1"))
+
+    # drain 2 (batch 1, snapshot 2): evidence merges window into merge
+    # sort (6 -> 5, oldest issued id wins)
+    def evidence(batch_df, batch_id):
+        return spark.createDataFrame([(5, 6)], "src long, dst long")
+
+    spark.createDataFrame(
+        [("https://s/2", ts, "a window beside the table scan again", "en")], schema
+    ).write.mode("append").parquet(landing)
+    run_streaming_pipeline(
+        spark, landing, out, ckpt, _aliases(spark),
+        canonical_store_dir=canon_store, incremental_canonical=True,
+        sameas_evidence_fn=evidence,
+    )
+    sup = spark.read.parquet(os.path.join(canon_store, "superseded", "snapshot=2"))
+    assert [(r["old_canonical_id"], r["canonical_id"]) for r in sup.collect()] == [(6, 5)]
+    # batch 1 wrote under the NEW mapping: its partition never emits 6
+    b1 = spark.read.parquet(out).filter(F.col("batch_id") == 1)
+    assert 6 not in page_ids(b1) and 5 in page_ids(b1)
+    # batch 0's raw partition still holds the retired id (append-only)…
+    assert 6 in page_ids(spark.read.parquet(out).filter(F.col("batch_id") == 0))
+    # …but the consistent read-time view resolves it everywhere, and
+    # the (5,6) pair triples collapse to self-loops and drop
+    view = read_streaming_triples(spark, out, canon_store)
+    assert 6 not in page_ids(view)
+    assert view.filter(F.col("subj") == F.col("obj")).count() == 0
+    assert {3, 5} <= page_ids(view)
