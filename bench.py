@@ -183,7 +183,7 @@ def main() -> None:
         "dedup_jaccard": catalog_text.QUERIES["dedup_jaccard"][0],
         "minhash_signatures": catalog_text.QUERIES["minhash_signatures"][0],
         "simhash": catalog_text.QUERIES["simhash"][0],
-        "knn_cosine": catalog_text.QUERIES["knn_cosine"][0],
+        "knn_cosine": catalog_text.q_knn_cosine,
         "conlleval_f1": catalog_ner.QUERIES["conlleval_f1"][0],
     }
     for name, fn in heavies.items():

@@ -213,22 +213,24 @@ def capped_buckets(banded: DataFrame, keys: list[str], max_bucket: int | None, i
     pairs needed).
 
     Public utility — the hyperplane-LSH similarity operators reuse it
-    with (table, sig) keys."""
-    sizes = banded.groupBy(*keys).agg(F.count("*").alias("n_docs"))
+    with (table, sig) keys.
+
+    r6 ingest-floor fix: ONE sizes aggregation carries both the count
+    (the cap predicate) and min(id) (the giants' keep_id) — the
+    previous shape aggregated sizes twice (count-only for the cap,
+    count+min for giants via an extra join+groupBy), two shuffles and
+    a join where one aggregation suffices.  At the incremental-ingest
+    snapshot scale the within-batch half is query-stage-latency-bound
+    (BENCH/ingest_floor_profile.json), so dropped stages are the whole
+    lever."""
+    sizes = banded.groupBy(*keys).agg(
+        F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id")
+    )
     if max_bucket is None:
-        empty = (
-            banded.groupBy(*keys)
-            .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keep_id"))
-            .filter(F.lit(False))
-        )
-        return banded, empty
+        return banded, sizes.filter(F.lit(False))
     small = sizes.filter(F.col("n_docs") <= max_bucket)
     kept = banded.join(small.select(*keys), keys, "left_semi")
-    giants = (
-        banded.join(sizes.filter(F.col("n_docs") > max_bucket), keys)
-        .groupBy(*keys, "n_docs")
-        .agg(F.min(id_col).alias("keep_id"))
-    )
+    giants = sizes.filter(F.col("n_docs") > max_bucket)
     return kept, giants
 
 
@@ -267,14 +269,10 @@ def giant_bucket_edges_from_banded(banded: DataFrame, max_bucket: int | None = 1
     the whole bucket as one duplicate cluster (union with the capped
     pair edges for the full graph).  Output: (src, dst) with
     dst = min(doc_id) of the bucket, src != dst, distinct."""
-    sizes = banded.groupBy("band_id", "band_hash").agg(
-        F.count("*").alias("n_docs"), F.min("doc_id").alias("keep_id")
-    )
+    _, giants = capped_buckets(banded, ["band_id", "band_hash"], max_bucket)
     return (
         banded.join(
-            sizes.filter(F.col("n_docs") > max_bucket).select(
-                "band_id", "band_hash", "keep_id"
-            ),
+            giants.select("band_id", "band_hash", "keep_id"),
             ["band_id", "band_hash"],
         )
         .filter(F.col("doc_id") != F.col("keep_id"))

@@ -374,8 +374,82 @@ def q_kg_triples(spark, sf_dir):
     ).select("subj", "pred", "obj", "url")
 
 
+# --- entity-resolution quality: pairwise + B-cubed P/R/F1 -------------
+def q_er_quality(spark, sf_dir):
+    """ER clustering quality (operators/er_metrics.py) on a planted
+    customer clustering: gold = c_nationkey; pred merges nations >= 20
+    into their %20 sibling (pairwise-precision hit) and splits every
+    5th customer into a pure per-nation satellite cluster (recall hit,
+    rewarded by B-cubed where pairwise ignores singletons).  One row,
+    metrics rounded to 6dp (the oracle-hash float convention)."""
+    from neuroner_spark.operators.er_metrics import bcubed_prf, pairwise_prf
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("id"),
+        F.when(
+            F.col("c_custkey") % 5 == 0, F.lit(1000) + F.col("c_nationkey")
+        )
+        .otherwise(F.col("c_nationkey") % 20)
+        .cast("long")
+        .alias("pred"),
+        F.col("c_nationkey").cast("long").alias("gold"),
+    )
+    pw = pairwise_prf(c.select("id", "pred"), c.select("id", "gold"), id_col="id")
+    bc = bcubed_prf(c.select("id", "pred"), c.select("id", "gold"), id_col="id")
+    return spark.createDataFrame(
+        [
+            (
+                round(pw["precision"], 6),
+                round(pw["recall"], 6),
+                round(pw["f1"], 6),
+                round(bc["precision"], 6),
+                round(bc["recall"], 6),
+                round(bc["f1"], 6),
+                int(pw["n_items"]),
+            )
+        ],
+        "pairwise_precision double, pairwise_recall double, pairwise_f1 double, "
+        "bcubed_precision double, bcubed_recall double, bcubed_f1 double, "
+        "n_items long",
+    )
+
+
+SQL_ER_QUALITY = """
+WITH j AS (
+  SELECT CAST(c_custkey AS BIGINT) AS id,
+         CAST(CASE WHEN c_custkey % 5 = 0 THEN 1000 + c_nationkey
+                   ELSE c_nationkey % 20 END AS BIGINT) AS la,
+         CAST(c_nationkey AS BIGINT) AS lg
+  FROM customer
+), sa AS (SELECT la, count(*) AS n FROM j GROUP BY la),
+sg AS (SELECT lg, count(*) AS n FROM j GROUP BY lg),
+sb AS (SELECT la, lg, count(*) AS n FROM j GROUP BY la, lg),
+pair AS (
+  SELECT (SELECT sum(n * (n - 1) / 2.0) FROM sa) AS pa,
+         (SELECT sum(n * (n - 1) / 2.0) FROM sg) AS pg,
+         (SELECT sum(n * (n - 1) / 2.0) FROM sb) AS pb,
+         (SELECT count(*) FROM j) AS n_items
+), bc AS (
+  SELECT avg(CAST(b.n AS DOUBLE) / a.n) AS bp,
+         avg(CAST(b.n AS DOUBLE) / g.n) AS br
+  FROM j JOIN sb b ON j.la = b.la AND j.lg = b.lg
+         JOIN sa a ON j.la = a.la
+         JOIN sg g ON j.lg = g.lg
+)
+SELECT round(pb / pa, 6) AS pairwise_precision,
+       round(pb / pg, 6) AS pairwise_recall,
+       round(2 * (pb / pa) * (pb / pg) / ((pb / pa) + (pb / pg)), 6) AS pairwise_f1,
+       round(bp, 6) AS bcubed_precision,
+       round(br, 6) AS bcubed_recall,
+       round(2 * bp * br / (bp + br), 6) AS bcubed_f1,
+       CAST(n_items AS BIGINT) AS n_items
+FROM pair, bc
+"""
+
+
 QUERIES = {
     "connected_components": (q_connected_components, SQL_CONNECTED_COMPONENTS),
+    "er_quality": (q_er_quality, SQL_ER_QUALITY),
     "gazetteer_mentions": (q_gazetteer_mentions, SQL_GAZETTEER_MENTIONS),
     "link_best": (q_link_best, SQL_LINK_BEST),
     "neural_tag_spans": (q_neural_tag_spans, None),
