@@ -212,3 +212,42 @@ def sameas_df(spark, n_clusters: int = 50):
         ]
     )
     return spark.createDataFrame(edges, schema), golden
+
+
+def linked_page_rows(n: int = 300, links_per_page: int = 3):
+    """pages rows whose html embeds deterministic ``<a href>`` anchors
+    (the web link graph): each page links to ``links_per_page`` other
+    FIXTURE pages with Zipf-skewed targets (low-index pages — and via
+    the host assignment, one hub host — collect most in-links), plus
+    one RELATIVE link (resolves to the page's own host, so it survives
+    ``link_edges`` but drops at ``host_graph``'s self-host filter)."""
+    rows = page_rows(n)
+    rng = np.random.default_rng(SEED + 9)
+    out = []
+    for i, (url, ts, html, text, lang) in enumerate(rows):
+        anchors = []
+        for _ in range(links_per_page):
+            j = int(rng.zipf(1.4)) % n
+            if j != i:
+                anchors.append(f'<a href="{rows[j][0]}">x</a>')
+        anchors.append('<a href="/local/page">rel</a>')
+        body = html.decode("utf-8").replace(
+            "</body>", "".join(anchors) + "</body>"
+        )
+        out.append((url, ts, body.encode("utf-8"), text, lang))
+    return out
+
+
+def linked_pages_df(spark, n: int = 300, links_per_page: int = 3):
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("url", T.StringType(), False),
+            T.StructField("warc_ts", T.TimestampType(), False),
+            T.StructField("html", T.BinaryType(), False),
+            T.StructField("text", T.StringType(), False),
+            T.StructField("lang", T.StringType(), False),
+        ]
+    )
+    return spark.createDataFrame(linked_page_rows(n, links_per_page), schema)

@@ -117,3 +117,69 @@ def entity_pagerank(spark, store_dir: str, pred: str = "co_occurs_with", **kw) -
     triples = read_kg_triples(spark, store_dir).filter(F.col("pred") == pred)
     edges = triples.select(F.col("subj").alias("src"), F.col("obj").alias("dst"))
     return pagerank(edges, undirected=pred in SYMMETRIC_PREDS, **kw)
+
+
+def link_edges(
+    pages: DataFrame, url_col: str = "url", html_col: str = "html"
+) -> DataFrame:
+    """(src, dst) url-level hyperlink edges from the pages table's raw
+    ``html`` binary — the web link graph a Common-Crawl corpus carries
+    alongside its text.  Entirely JVM-side: decode + one
+    ``regexp_extract_all`` over href attributes + explode; no UDF, no
+    shuffle (the explode preserves the scan's partitioning).
+
+    Relative hrefs (no scheme) are resolved against the source page's
+    scheme://host; fragment-only and javascript/mailto pseudo-links are
+    dropped.  Output is NOT distinct()ed — edge multiplicity is signal
+    for weighted consumers; ``host_graph`` aggregates it."""
+    html_txt = F.decode(F.col(html_col), "UTF-8")
+    hrefs = F.regexp_extract_all(html_txt, F.lit(r'href="([^"#]+)'), 1)
+    base = F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)
+    raw = pages.select(
+        F.col(url_col).alias("src"), base.alias("_base"), F.explode(hrefs).alias("_h")
+    ).filter(~F.col("_h").rlike(r"^(javascript:|mailto:|data:)"))
+    resolved = F.when(F.col("_h").rlike(r"^[a-zA-Z][a-zA-Z0-9+.-]*://"), F.col("_h")).otherwise(
+        F.concat(
+            F.col("_base"),
+            F.when(F.col("_h").startswith("/"), F.col("_h")).otherwise(
+                F.concat(F.lit("/"), F.col("_h"))
+            ),
+        )
+    )
+    return raw.select("src", resolved.alias("dst")).filter(F.col("dst") != F.col("src"))
+
+
+def host_graph(edges: DataFrame) -> DataFrame:
+    """url-level link edges -> weighted host-level graph
+    (src_host, dst_host, n_links), self-host edges dropped.  One
+    map-side-combined groupBy on the host pair — at crawl scale the
+    output is hosts², bounded far below the url-level edge count."""
+    from neuroner_spark.functions.urls import url_host
+
+    return (
+        edges.select(
+            url_host(F.col("src")).alias("src"), url_host(F.col("dst")).alias("dst")
+        )
+        .filter((F.col("src") != F.col("dst")) & (F.col("dst") != ""))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("n_links"))
+    )
+
+
+def host_pagerank(pages: DataFrame, **kw) -> DataFrame:
+    """Host-importance ranking over the crawl's own hyperlink graph:
+    link extraction -> host aggregation -> ``pagerank``.  The id space
+    is xxhash64(host) (collision-negligible at crawl scale); returns
+    (host, rank) by joining the ranks back to the distinct host table
+    (one broadcast-sized join at host cardinality)."""
+    hg = host_graph(link_edges(pages)).localCheckpoint()
+    ids = (
+        hg.select(F.col("src").alias("host"))
+        .unionByName(hg.select(F.col("dst").alias("host")))
+        .distinct()
+        .select("host", F.xxhash64("host").alias("node"))
+    )
+    ranks = pagerank(
+        hg.select(F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")), **kw
+    )
+    return ranks.join(ids, "node").select("host", "rank")

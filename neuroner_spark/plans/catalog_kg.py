@@ -112,11 +112,74 @@ def _edges(spark, sf_dir):
     return ce.unionByName(se)
 
 
+# fixed-iteration PageRank leg of the graph query (tol=0 -> no
+# convergence action; 5 unrolled iterations in the SQL replay)
+PAGERANK_ITERS = 5
+PAGERANK_DAMPING = 0.85
+
+
 def q_connected_components(spark, sf_dir):
-    return connected_components(_edges(spark, sf_dir))
+    """J10 components + (r6 tag-merge) fixed-iteration PageRank over
+    the SAME customer/supplier->nation graph as a 'pagerank' variant —
+    puts the iterative-join ranking loop (operators/graph_rank.py) on
+    the full DuckDB-oracle surface: the oracle unrolls the power
+    iteration (PAGERANK_ITERS plain aggregation CTEs, including the
+    dangling-mass redistribution — every nation is a dangling node
+    here), values rounded to 6dp per the float-hash convention."""
+    from neuroner_spark.operators.graph_rank import pagerank
+
+    e = _edges(spark, sf_dir)
+    cc = connected_components(e).select(
+        "node",
+        F.lit("component").alias("variant"),
+        F.col("component").cast("double").alias("val"),
+    )
+    pr = pagerank(
+        e, damping=PAGERANK_DAMPING, max_iter=PAGERANK_ITERS, tol=0.0
+    ).select(
+        "node", F.lit("pagerank").alias("variant"), F.round("rank", 6).alias("val")
+    )
+    return cc.unionByName(pr)
 
 
-SQL_CONNECTED_COMPONENTS = """
+def _pagerank_unrolled_cte(iters: int = PAGERANK_ITERS, d: float = PAGERANK_DAMPING) -> str:
+    """Unrolled power iteration: pr0 = uniform; pr{k+1} from pr{k} via
+    one inflow aggregation + one dangling-mass scalar — a plain-SQL
+    mirror of one ``pagerank`` round (same formula, same association:
+    share = rank/deg per source, summed per destination)."""
+    ctes = [
+        "vedges AS (SELECT DISTINCT src, dst FROM edges WHERE src <> dst)",
+        # explicit DISTINCT-over-UNION-ALL: inside a WITH RECURSIVE
+        # chain DuckDB parsed the bare two-arm UNION here with
+        # recursive-union semantics and kept duplicates (observed:
+        # 3200 rows for 1625 distinct nodes)
+        "vnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM vedges UNION ALL SELECT dst FROM vedges))",
+        "nn AS (SELECT count(*) AS n FROM vnodes)",
+        "voutdeg AS (SELECT src, count(*) AS deg FROM vedges GROUP BY src)",
+        "pr0 AS (SELECT node, 1.0 / nn.n AS rank FROM vnodes, nn)",
+    ]
+    for i in range(iters):
+        ctes.append(f"""pr{i + 1} AS (
+  SELECT nd.node,
+         (1.0 - {d}) / nn.n
+         + {d} * (SELECT coalesce(sum(p.rank), 0)
+                  FROM pr{i} p LEFT JOIN voutdeg od ON od.src = p.node
+                  WHERE od.deg IS NULL) / nn.n
+         + {d} * coalesce(c.inflow, 0) AS rank
+  FROM vnodes nd
+  CROSS JOIN nn
+  LEFT JOIN (
+    SELECT e.dst AS node, sum(p.rank / od.deg) AS inflow
+    FROM pr{i} p
+    JOIN voutdeg od ON od.src = p.node
+    JOIN vedges e ON e.src = p.node
+    GROUP BY e.dst
+  ) c ON c.node = nd.node
+)""")
+    return ",\n".join(ctes)
+
+
+SQL_CONNECTED_COMPONENTS = f"""
 WITH RECURSIVE edges AS (
   SELECT CAST(c_custkey + 1000000 AS BIGINT) AS src, CAST(c_nationkey AS BIGINT) AS dst FROM customer
   UNION ALL
@@ -128,8 +191,11 @@ WITH RECURSIVE edges AS (
   UNION
   SELECT sym.src AS node, reach.r
   FROM sym JOIN reach ON sym.dst = reach.node
-)
-SELECT node, min(r) AS component FROM reach GROUP BY node
+),
+{_pagerank_unrolled_cte()}
+SELECT node, 'component' AS variant, CAST(min(r) AS DOUBLE) AS val FROM reach GROUP BY node
+UNION ALL
+SELECT node, 'pagerank' AS variant, round(rank, 6) AS val FROM pr{PAGERANK_ITERS}
 """
 
 

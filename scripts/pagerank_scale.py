@@ -106,8 +106,15 @@ edges = spark.range({e}).select(
     (F.col("id") % F.greatest((F.xxhash64("id", F.lit(1)) % 1000) % 97 + 1, F.lit(1))).alias("dst"),
 ).select(F.abs("src").alias("src"), F.abs("dst").alias("dst")).localCheckpoint()
 p0 = probe(); t0 = time.time()
-pagerank(edges, max_iter={iters}, tol=0.0).count()
-print(json.dumps({{"wall_s": round(time.time()-t0, 3), "probe_sec": [p0, probe()]}}))
+it_log = []
+pagerank(edges, max_iter={iters}, tol=0.0, iteration_log=it_log).count()
+wall = round(time.time()-t0, 3)
+iters_s = [x["wall_sec"] for x in it_log]
+# setup = the one-time edge distinct + node derivation + counts before
+# the loop (wall minus the logged rounds and the final count's share)
+print(json.dumps({{"wall_s": wall, "probe_sec": [p0, probe()],
+                   "iteration_walls_s": iters_s,
+                   "setup_and_final_s": round(wall - sum(iters_s), 3)}}))
 """
     env = dict(os.environ)
     for v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
@@ -139,8 +146,63 @@ print(json.dumps({{"wall_s": round(time.time()-t0, 3), "probe_sec": [p0, probe()
     print(json.dumps(d["two_size"]["median_wall_s"]), "efficiency:", eff)
 
 
+def convergence(n: int, e: int, max_iter: int = 25) -> None:
+    """Convergence-vs-tolerance table (r6 candidate): ONE long run with
+    delta tracking; the iterations-to-tol table is read off the logged
+    L1-delta curve (delta is monotone-decreasing on these graphs), so
+    each tolerance costs nothing extra.  Appends to the artifact."""
+    from pyspark.sql import functions as F
+
+    from neuroner_spark.operators.graph_rank import pagerank
+    from neuroner_spark.session import get_spark
+
+    spark = get_spark(
+        "pagerank_conv", cores="32", shuffle_partitions=32,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    edges = spark.range(e).select(
+        (F.xxhash64("id") % n).alias("src"),
+        (F.col("id") % F.greatest((F.xxhash64("id", F.lit(1)) % 1000) % 97 + 1, F.lit(1))).alias("dst"),
+    ).select(F.abs("src").alias("src"), F.abs("dst").alias("dst")).localCheckpoint()
+    log: list = []
+    p0 = probe()
+    t0 = time.time()
+    # tol tiny-but-positive: logs the delta every round, never exits early
+    pagerank(edges, max_iter=max_iter, tol=1e-15, iteration_log=log).count()
+    wall = round(time.time() - t0, 3)
+    tols = [1e-2, 1e-3, 1e-4, 1e-5, 1e-6]
+    to_tol = {}
+    for tol in tols:
+        hit = next((x["iter"] + 1 for x in log if x["l1_delta"] < tol), None)
+        to_tol[f"{tol:g}"] = hit  # None = not reached within max_iter
+    path = os.path.join(REPO, "BENCH", "pagerank_scale.json")
+    with open(path) as f:
+        d = json.load(f)
+    d["convergence"] = {
+        "n_nodes": n, "n_edges": e, "max_iter": max_iter,
+        "total_wall_s": wall, "probe_sec": [p0, probe()],
+        "l1_delta_curve": [x["l1_delta"] for x in log],
+        "sec_per_iteration": [x["wall_sec"] for x in log],
+        "iterations_to_tol": to_tol,
+        "note": "one tracked run; iterations_to_tol read off the monotone "
+                "delta curve — the fixed-iteration production setting trades "
+                "the per-round convergence action for a committed iteration "
+                "budget chosen from this table",
+    }
+    with open(path, "w") as f:
+        json.dump(d, f, indent=1)
+    print(json.dumps(d["convergence"]["iterations_to_tol"]), "wall:", wall)
+
+
 if __name__ == "__main__":
-    if "--two-size" in sys.argv:
+    if "--convergence" in sys.argv:
+        args = [a for a in sys.argv[1:] if not a.startswith("--")]
+        convergence(
+            int(args[0]) if args else 5_000_000,
+            int(args[1]) if len(args) > 1 else 50_000_000,
+            int(args[2]) if len(args) > 2 else 25,
+        )
+    elif "--two-size" in sys.argv:
         args = [a for a in sys.argv[1:] if not a.startswith("--")]
         two_size(
             int(args[0]) if args else 1_000_000,

@@ -345,3 +345,71 @@ def test_er_metrics_match_python_model(spark):
     )
     s = pairwise_prf(singles, gold_df)
     assert s["precision"] == 1.0 and s["recall"] == 0.0
+
+
+def test_link_edges_extraction_and_resolution(spark):
+    """href extraction: absolute links kept as-is, relative links
+    resolved against the source page's scheme://host, pseudo-links and
+    fragments dropped, self-links dropped."""
+    import datetime as dt
+
+    from neuroner_spark.operators.graph_rank import host_graph, link_edges
+
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    html = (
+        b'<html><body><a href="https://other.example/p1">x</a>'
+        b'<a href="/rel/path">r</a>'
+        b'<a href="sub">s</a>'
+        b'<a href="javascript:void(0)">j</a>'
+        b'<a href="mailto:a@b.c">m</a>'
+        b'<a href="#frag">f</a>'
+        b'<a href="https://me.example/home">self</a></body></html>'
+    )
+    pages = spark.createDataFrame(
+        [("https://me.example/home", ts, html, "t", "en")],
+        "url string, warc_ts timestamp, html binary, text string, lang string",
+    )
+    edges = {(r["src"], r["dst"]) for r in link_edges(pages).collect()}
+    assert edges == {
+        ("https://me.example/home", "https://other.example/p1"),
+        ("https://me.example/home", "https://me.example/rel/path"),
+        ("https://me.example/home", "https://me.example/sub"),
+    }
+    # host level: same-host (relative) edges drop, cross-host aggregates
+    hg = {(r["src"], r["dst"]): r["n_links"] for r in host_graph(link_edges(pages)).collect()}
+    assert hg == {("me.example", "other.example"): 1}
+
+
+def test_host_pagerank_hub_and_fixture_plumbing(spark):
+    """host_pagerank: (a) a manual hub graph ranks the link sink first;
+    (b) the linked-pages fixture runs end-to-end with ranks summing to
+    1 over the host graph's nodes."""
+    import datetime as dt
+
+    from neuroner_spark.fixtures.gen import linked_pages_df
+    from neuroner_spark.operators.graph_rank import host_pagerank
+
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def page(url, *targets):
+        body = "".join(f'<a href="{t}">x</a>' for t in targets)
+        return (url, ts, f"<html><body>{body}</body></html>".encode(), "t", "en")
+
+    schema = "url string, warc_ts timestamp, html binary, text string, lang string"
+    # a, c, d all link to b; b links back to a only
+    pages = spark.createDataFrame(
+        [
+            page("https://a.x/1", "https://b.x/1"),
+            page("https://c.x/1", "https://b.x/1"),
+            page("https://d.x/1", "https://b.x/1"),
+            page("https://b.x/1", "https://a.x/1"),
+        ],
+        schema,
+    )
+    ranks = {r["host"]: r["rank"] for r in host_pagerank(pages, max_iter=15).collect()}
+    assert max(ranks, key=ranks.get) == "b.x"
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6
+
+    fixture_ranks = host_pagerank(linked_pages_df(spark, 120), max_iter=5, tol=0.0).collect()
+    assert len(fixture_ranks) > 1
+    assert abs(sum(r["rank"] for r in fixture_ranks) - 1.0) < 1e-6
