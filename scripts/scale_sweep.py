@@ -218,11 +218,22 @@ def flagship(factor: int, sf_dir: str, update: bool = False) -> int:
     n_docs = docs.count()
     results = {}
 
+    def _release_pinned_blocks():
+        # the three legs share one JVM; localCheckpoint blocks pinned by
+        # a finished leg (kg's mention frame alone is GBs deserialized)
+        # have no DataFrame handle left to unpersist, and carrying them
+        # into the next leg's peak is what OOMed the corpus leg on an
+        # idle box (r6 session 5) — release EVERYTHING between legs
+        jsc = spark.sparkContext._jsc
+        for rdd in jsc.getPersistentRDDs().values():
+            rdd.unpersist(False)
+
     def run(name, fn):
         p0 = probe_once()
         t0 = time.time()
         n, stages = fn()
         dt = time.time() - t0
+        _release_pinned_blocks()
         p1 = probe_once()
         lf = round(((p0 + p1) / 2) / idle_floor, 2)
         dps = round(n_docs / dt, 1)
