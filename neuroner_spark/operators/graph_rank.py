@@ -55,6 +55,29 @@ def pagerank(
         return nodes.withColumn("rank", F.lit(0.0))
     out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+
+    # Per-round checkpoint RELEASE (r6 session 5): each round pins a
+    # node-sized rank frame in executor storage, and DataFrame handles
+    # can't unpersist a localCheckpoint's internal RDD (the r5
+    # streaming-leak class) — without release, max_iter=25 at 5M nodes
+    # pinned ~25 deserialized frames and OOMed an 8 GB heap.  The ids
+    # each round REGISTERS are diffed off the JVM's persistent-RDD map,
+    # and the PREVIOUS round's ids are freed once the new frame (and
+    # the delta check reading both) is materialized — live frames are
+    # then bounded at 2 regardless of iteration count, which is what a
+    # 10^9-node run on a real cluster needs too.
+    jsc = edges.sparkSession.sparkContext._jsc
+
+    def _pinned_ids() -> set:
+        return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
+
+    def _release(ids: set) -> None:
+        live = jsc.getPersistentRDDs()
+        for rid in ids:
+            if live.containsKey(rid):
+                live.get(rid).unpersist(False)
+
+    prev_round_ids: set = set()
     for i in range(max_iter):
         t0 = time.time()
         with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
@@ -73,6 +96,7 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("share").alias("inflow"))
         )
+        before_ids = _pinned_ids()
         new_ranks = (
             nodes.join(contribs, "node", "left")
             .crossJoin(F.broadcast(dang_frame))
@@ -96,6 +120,9 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
                 .collect()[0][0]
             )
+        # old ranks fed this round's join (and the delta above) — dead now
+        _release(prev_round_ids)
+        prev_round_ids = _pinned_ids() - before_ids - prev_round_ids
         ranks = new_ranks
         if iteration_log is not None:
             entry = {"iter": i, "wall_sec": round(time.time() - t0, 3)}
@@ -131,7 +158,11 @@ def link_edges(
     Relative hrefs (no scheme) are resolved against the source page's
     scheme://host; fragment-only and javascript/mailto pseudo-links are
     dropped.  Output is NOT distinct()ed — edge multiplicity is signal
-    for weighted consumers; ``host_graph`` aggregates it."""
+    for weighted consumers; ``host_graph`` aggregates it.
+
+    Contract: double-quoted href attributes only (the normalized form
+    crawl extractors emit); single-quoted/unquoted attributes need a
+    second regex alternative here — one line, same plan shape."""
     html_txt = F.decode(F.col(html_col), "UTF-8")
     hrefs = F.regexp_extract_all(html_txt, F.lit(r'href="([^"#]+)'), 1)
     base = F.regexp_extract(F.col(url_col), r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]+)", 1)

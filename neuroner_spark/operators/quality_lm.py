@@ -54,6 +54,7 @@ def bigram_lm_scores(
     text_col: str = "text",
     alpha: float = 0.5,
     vocab_limit: int | None = None,
+    broadcast_counts: bool | None = None,
 ) -> DataFrame:
     """Score each doc under a bigram LM trained on the same corpus.
 
@@ -67,7 +68,20 @@ def bigram_lm_scores(
     ``vocab_limit``: keep only the top-K tokens by corpus frequency
     (ties broken by token string); everything else becomes UNK before
     counting — the knob that bounds both count tables at web scale.
+
+    ``broadcast_counts`` (r6, measured at 5M docs): hint the
+    history/bigram count tables broadcast in the scoring joins.  The
+    BENCH/lm_crossover.json legs showed AQE planning the scoring joins
+    as SortMergeJoins even with tiny count tables — which shuffles the
+    corpus-sized PAIR STREAM for nothing; the explicit hint keeps the
+    pair stream in place.  Default (None) resolves to True when
+    ``vocab_limit`` bounds the tables (≤ limit+1 and ≤ observed
+    bigrams of the kept vocab) and False otherwise (an unbounded
+    bigram table is corpus-vocab-sized — hinting it broadcast at web
+    scale would OOM the driver; AQE decides from runtime stats there).
     """
+    if broadcast_counts is None:
+        broadcast_counts = vocab_limit is not None
     pairs = _bigram_pairs(docs, id_col, text_col)
     toks = docs.select(
         F.explode(F.split(F.col(text_col), " ")).alias("tok")
@@ -110,6 +124,8 @@ def bigram_lm_scores(
 
     history = pairs.groupBy("prev").agg(F.count("*").alias("ch"))
     bigrams = pairs.groupBy("prev", "tok").agg(F.count("*").alias("cb"))
+    if broadcast_counts:
+        history, bigrams = F.broadcast(history), F.broadcast(bigrams)
     scored = (
         pairs.join(bigrams, ["prev", "tok"])
         .join(history, "prev")

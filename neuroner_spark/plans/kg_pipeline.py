@@ -368,7 +368,11 @@ def verb_triples_from_mentions(
                 list(cons), "vtok string, subj_type string, obj_type string"
             )
         else:
-            cons = cons.toDF("vtok", "subj_type", "obj_type")
+            # by NAME, not position — a caller's (subj_type, pred,
+            # obj_type) column order must not silently remap the verb
+            cons = cons.select(
+                F.col("pred").alias("vtok"), "subj_type", "obj_type"
+            )
         # whitelist rows are distinct by contract; the inner broadcast
         # join both filters AND implements nearest-ALLOWED-verb (the
         # min_by below only ever sees allowed candidates)
