@@ -30,6 +30,7 @@ def pagerank(
     tol: float = 1e-6,
     undirected: bool = False,
     iteration_log: list | None = None,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """edges(src, dst) -> (node, rank), sum(rank) == 1.
 
@@ -37,54 +38,74 @@ def pagerank(
     undirected; verb-predicate graphs are directed).
     ``iteration_log``: appends {'iter', 'l1_delta', 'wall_sec'} per
     round (the components.py observability contract).
-    """
+
+    Partition-reuse structure (r6 session 5 — measured at 4M nodes /
+    40M edges, where the first formulation spent most of each round
+    re-exchanging the EDGE table): the static frames are persist()ed
+    behind explicit hash repartitions (edges by src, nodes/ranks by
+    node) instead of localCheckpoint()ed — a checkpointed frame
+    surfaces as a LogicalRDD with UNKNOWN partitioning, so every
+    round's share×edges join re-shuffled all 40M edge rows; a
+    persisted frame keeps its outputPartitioning and the joins
+    co-partition with ZERO edge exchange per round.  The rank frame is
+    likewise persisted per round (previous round released via its
+    handle — no JVM-map digging needed for persist), and every
+    ``checkpoint_interval`` rounds it is localCheckpoint()ed instead,
+    truncating the logical lineage so analysis cost stays bounded at
+    ANY iteration count (the one reshuffle those rounds pay is
+    node-sized, not edge-sized).  Live storage is bounded at ~2 rank
+    frames + the static graph regardless of max_iter."""
     import time
 
+    spark = edges.sparkSession
+    shuffle_p = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     e = edges.select(F.col("src").cast("long"), F.col("dst").cast("long"))
     if undirected:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    e = (
+        e.filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .repartition(shuffle_p, "src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionByName(e.select(F.col("dst").alias("node")))
         .distinct()
-        .localCheckpoint()
+        .repartition(shuffle_p, "node")
+        .persist()
     )
     n = nodes.count()
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).localCheckpoint()
+    # partitioned by src already (derived from e) — no exchange
+    out_deg = e.groupBy("src").agg(F.count("*").alias("deg")).persist()
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n)).persist()
+    ranks.count()
 
-    # Per-round checkpoint RELEASE (r6 session 5): each round pins a
-    # node-sized rank frame in executor storage, and DataFrame handles
-    # can't unpersist a localCheckpoint's internal RDD (the r5
-    # streaming-leak class) — without release, max_iter=25 at 5M nodes
-    # pinned ~25 deserialized frames and OOMed an 8 GB heap.  The ids
-    # each round REGISTERS are diffed off the JVM's persistent-RDD map,
-    # and the PREVIOUS round's ids are freed once the new frame (and
-    # the delta check reading both) is materialized — live frames are
-    # then bounded at 2 regardless of iteration count, which is what a
-    # 10^9-node run on a real cluster needs too.
-    jsc = edges.sparkSession.sparkContext._jsc
+    # localCheckpoint rounds pin blocks with NO releasable DataFrame
+    # handle (the r5 streaming-leak class; 25 un-released rounds at 5M
+    # nodes OOMed an 8 GB heap) — those rounds' RDD ids are diffed off
+    # the JVM persistent-RDD map and freed one round later
+    jsc = spark.sparkContext._jsc
 
     def _pinned_ids() -> set:
         return {int(k) for k in jsc.getPersistentRDDs().keySet().toArray()}
 
-    def _release(ids: set) -> None:
+    def _release_ids(ids: set) -> None:
         live = jsc.getPersistentRDDs()
         for rid in ids:
             if live.containsKey(rid):
                 live.get(rid).unpersist(False)
 
-    prev_round_ids: set = set()
+    prev_frame = None  # previous round's persisted frame (handle release)
+    prev_ck_ids: set = set()  # previous checkpoint round's JVM rdd ids
     for i in range(max_iter):
         t0 = time.time()
         with_deg = ranks.join(out_deg, ranks.node == out_deg.src, "left")
         # dangling nodes (no out-edges) donate their mass uniformly —
         # folded in as a LAZY broadcast scalar (a collect here would be
-        # an extra driver action per round; at small graphs the
-        # per-round actions, not the joins, are the wall)
+        # an extra driver action per round)
         dang_frame = (
             with_deg.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("_dang"))
@@ -108,10 +129,15 @@ def pagerank(
                     + F.lit(damping) * F.coalesce("inflow", F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint()
         )
-        # the L1-delta convergence check is the round's ONLY driver
-        # action; fixed-iteration callers (tol<=0) skip it entirely
+        truncate = checkpoint_interval > 0 and (i + 1) % checkpoint_interval == 0
+        if truncate:
+            new_ranks = new_ranks.localCheckpoint()  # eager; lineage cut
+        else:
+            new_ranks = new_ranks.persist()
+            new_ranks.count()  # materialize so the old round can be freed
+        # the L1-delta convergence check is the round's ONLY extra
+        # driver action; fixed-iteration callers (tol<=0) skip it
         delta = None
         if tol > 0:
             delta = (
@@ -120,9 +146,16 @@ def pagerank(
                 .agg(F.sum(F.abs(F.col("rank") - F.col("r0"))))
                 .collect()[0][0]
             )
-        # old ranks fed this round's join (and the delta above) — dead now
-        _release(prev_round_ids)
-        prev_round_ids = _pinned_ids() - before_ids - prev_round_ids
+        # the old round fed this round's join (and the delta) — dead now
+        if prev_frame is not None:
+            prev_frame.unpersist(False)
+        _release_ids(prev_ck_ids)
+        if truncate:
+            prev_ck_ids = _pinned_ids() - before_ids
+            prev_frame = None
+        else:
+            prev_ck_ids = set()
+            prev_frame = new_ranks
         ranks = new_ranks
         if iteration_log is not None:
             entry = {"iter": i, "wall_sec": round(time.time() - t0, 3)}
@@ -214,3 +247,39 @@ def host_pagerank(pages: DataFrame, **kw) -> DataFrame:
         hg.select(F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")), **kw
     )
     return ranks.join(ids, "node").select("host", "rank")
+
+
+def top_entities_per_component(
+    spark,
+    store_dir: str,
+    pred: str = "co_occurs_with",
+    k: int = 3,
+    **pagerank_kw,
+) -> DataFrame:
+    """Analytics consumer over the incremental triple store: PageRank
+    the entity graph of one predicate, connected-components the same
+    edge set, and return each component's top-``k`` entities by rank —
+    the "who matters inside each cluster" table a KG browser serves.
+
+    Plan: the edge set is derived ONCE (read_kg_triples view);
+    components and ranks are two loops over it; the final top-k is a
+    rank-partitioned window over component (node-keyed shuffle, no
+    global sort)."""
+    from pyspark.sql import Window
+
+    from neuroner_spark.operators.components import connected_components
+    from neuroner_spark.plans.kg_pipeline import SYMMETRIC_PREDS, read_kg_triples
+
+    triples = read_kg_triples(spark, store_dir).filter(F.col("pred") == pred)
+    edges = triples.select(
+        F.col("subj").alias("src"), F.col("obj").alias("dst")
+    ).localCheckpoint()
+    ranks = pagerank(edges, undirected=pred in SYMMETRIC_PREDS, **pagerank_kw)
+    comp = connected_components(edges)
+    w = Window.partitionBy("component").orderBy(F.desc("rank"), F.asc("node"))
+    return (
+        ranks.join(comp, "node")
+        .withColumn("pos", F.row_number().over(w))
+        .filter(F.col("pos") <= k)
+        .select("component", "pos", F.col("node").alias("entity"), "rank")
+    )

