@@ -98,7 +98,8 @@ def pagerank(
             if live.containsKey(rid):
                 live.get(rid).unpersist(False)
 
-    prev_frame = None  # previous round's persisted frame (handle release)
+    # seed with the INITIAL rank frame so round 0's release frees it
+    prev_frame = ranks  # previous round's persisted frame (handle release)
     prev_ck_ids: set = set()  # previous checkpoint round's JVM rdd ids
     for i in range(max_iter):
         t0 = time.time()

@@ -421,6 +421,12 @@ def test_verb_type_constraints_semantics(spark):
     assert run(allow_all, ty=no2) == {(1, "group", 3)}
     # empty whitelist -> empty family (never an error)
     assert run([("nosuchverb", "ORG", "OP")]) == set()
+    # DataFrame-shaped whitelist: consumed by COLUMN NAME, so a
+    # shuffled column order must not remap the verb
+    cons_df = spark.createDataFrame(
+        [("OP", "filter", "OP")], "subj_type string, pred string, obj_type string"
+    )
+    assert run(cons_df) == {(2, "filter", 3)}
 
 
 def test_canonical_entity_types_mode_tiebreak(spark):
