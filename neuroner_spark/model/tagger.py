@@ -178,8 +178,21 @@ def make_tag_fn(bundle_bc, use_crf: bool = True):
     return tag_batches
 
 
-def sentences_from_tokens(tokens: DataFrame) -> DataFrame:
-    """tokens -> one row per sentence with parallel arrays (JVM-side)."""
+def sentences_from_tokens(tokens: DataFrame, n_partitions: int | None = None) -> DataFrame:
+    """tokens -> one row per sentence with parallel arrays (JVM-side).
+
+    ``n_partitions``: pre-shard the tokens by hash(doc_id, sent_id)
+    into exactly this many partitions BEFORE the aggregation — the
+    groupBy's required clustering is then already satisfied, so the
+    whole sentence assembly runs on ONE exchange and its output stays
+    at ``n_partitions``, balanced per-sentence (sentences of a huge doc
+    spread across all partitions — the same skew guarantee the old
+    separate salted repartition in ``tag_tokens`` provided, minus its
+    second full shuffle of the assembled arrays).  collect_list has no
+    real map-side combine, so shuffling raw tokens instead of partial
+    lists moves the same bytes."""
+    if n_partitions is not None:
+        tokens = tokens.repartition(n_partitions, "doc_id", "sent_id")
     return (
         tokens.groupBy("doc_id", "sent_id")
         .agg(
@@ -216,7 +229,13 @@ def tag_tokens(
     if n_partitions is None:
         n_partitions = spark.sparkContext.defaultParallelism * 2
     # salt on the sentence key: sentences of one huge doc (hot host)
-    # spread across ALL partitions instead of hot-spotting one task
+    # spread across ALL partitions instead of hot-spotting one task.
+    # Kept as a SECOND exchange deliberately (r7 measured the
+    # alternative): pre-sharding the raw tokens by (doc_id, sent_id)
+    # to feed the groupBy from one exchange shuffles ~100x more rows
+    # (every token, vs the partial-collect_list-compacted sentence
+    # rows here) and benched consistently slower at sf0.1; the
+    # assembled-sentence shuffle is row-count-cheap.
     salted = sentences.repartition(n_partitions, F.xxhash64("doc_id", "sent_id"))
     bundle_bc = spark.sparkContext.broadcast(bundle)
     tagged = salted.mapInPandas(make_tag_fn(bundle_bc, use_crf), schema=TAGGED_SCHEMA)

@@ -94,7 +94,9 @@ def connected_components(
     )
     if small_threshold:
         t0 = time.time()
-        sample = base.limit(small_threshold + 1).collect()
+        # Arrow toPandas, not collect() (r7): measured ~2x cheaper on
+        # the driver for the same probe (guide: Arrow for transfers)
+        sample = base.limit(small_threshold + 1).toPandas()
         if len(sample) <= small_threshold:
             parent: dict[int, int] = {}
 
@@ -106,8 +108,8 @@ def connected_components(
 
             # attach the larger root under the smaller -> every root is
             # its component's minimum (same invariant as the star loop)
-            for r in sample:
-                a, b = find(int(r["src"])), find(int(r["dst"]))
+            for s, dd in zip(sample["src"], sample["dst"]):
+                a, b = find(int(s)), find(int(dd))
                 if a != b:
                     parent[max(a, b)] = min(a, b)
             rows = [(n, find(n)) for n in parent]

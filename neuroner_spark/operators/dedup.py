@@ -674,6 +674,7 @@ def simhash_near_dedup(
     max_bucket: int | None = 1000,
     iteration_log: list | None = None,
     signatures: DataFrame | None = None,
+    all_docs: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end SimHash near-dedup: Manku §4's dedup-then-pair
     discipline composed with this module's components+keep-one shape.
@@ -702,6 +703,15 @@ def simhash_near_dedup(
          never reach the signature groupBy and come back keep=true —
          no silent drops.
 
+    ``all_docs`` (r7): a pre-deduplicated one-column (doc_id) frame
+    covering the doc universe — pass it when the caller already holds
+    one (e.g. the materialized ``signatures`` frame's ids, when every
+    doc is known to tokenize) so the default ``docs`` re-scan +
+    distinct exchange is skipped.  Callers that pass ``signatures``-
+    derived ids accept that empty-text docs (absent from the signature
+    groupBy) drop from the output — fine when the consumer inner-joins
+    on signatures anyway.
+
     Output: (doc_id, component, keep)."""
     from neuroner_spark.operators.components import connected_components
 
@@ -723,7 +733,8 @@ def simhash_near_dedup(
     )
     comp = connected_components(pairs.union(pile_edges), iteration_log=iteration_log)
     comp_or_self = F.coalesce(F.col("component"), F.col("doc_id"))
-    all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    if all_docs is None:
+        all_docs = docs.select(F.col(id_col).alias("doc_id")).distinct()
     return all_docs.join(
         comp.withColumnRenamed("node", "doc_id"), "doc_id", "left"
     ).select(

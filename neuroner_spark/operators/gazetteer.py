@@ -116,9 +116,20 @@ def match_mentions(
     # two lag() lookups instead of a self-join — saves two shuffles on
     # the hottest stage of the pipeline (verified vs the NOT EXISTS
     # formulation by the DuckDB oracle).
-    w_pos = Window.partitionBy("doc_id", "sent_id", "pos").orderBy(F.desc("n"))
-    longest = hits.withColumn("_rn", F.row_number().over(w_pos)).filter(F.col("_rn") == 1).drop("_rn")
-    w_sent = Window.partitionBy("doc_id", "sent_id").orderBy("pos")
+    # Both windows share ONE spec (r7): partition (doc, sent), order
+    # (pos, n desc).  Hits are unique per (pos, n), so the first row of
+    # each pos group under this ordering IS the longest hit at that pos
+    # (replacing the per-(doc,sent,pos) row_number window), and after
+    # that filter rows are unique per pos, making the ordering
+    # equivalent to plain (pos) for the containment lags — one
+    # exchange-satisfying sort serves both window passes instead of two.
+    w_sent = Window.partitionBy("doc_id", "sent_id").orderBy("pos", F.desc("n"))
+    prev_pos = F.lag("pos").over(w_sent)
+    longest = (
+        hits.withColumn("_pp", prev_pos)
+        .filter(F.col("_pp").isNull() | (F.col("_pp") != F.col("pos")))
+        .drop("_pp")
+    )
     contained = F.lit(False)
     for k in range(1, max_n):
         p_pos = F.lag("pos", k).over(w_sent)

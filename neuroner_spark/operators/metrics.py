@@ -42,27 +42,67 @@ def conlleval_f1(
     tokens: (doc_id, sent_id, pos, token, start, end, <gold>, <pred>).
     Output: (type, tp, fp, fn, precision, recall, f1) — floats rounded
     to 6 decimals for cross-engine determinism.
+
+    Plan shape (r7): ONE span-extraction pass over a side-exploded
+    token frame (the old shape ran two full extraction pipelines, one
+    per label column, and then a full-outer join).  A span occurrence
+    key (doc, sent, start, end, type) is unique within each side (token
+    runs of one sentence are disjoint in pos, so their char offsets
+    can't coincide — the same invariant the old full-outer join relied
+    on to stay 1:1), so the gold-vs-pred match collapses to ONE keyed
+    aggregation with side flags — no join at all.  The 'ALL' row is
+    derived from the tiny per-type frame (every matched key has exactly
+    one type, so per-type counts sum exactly to the overall counts),
+    instead of re-aggregating the matched subtree a second time.
+    Exchanges: 8x2 subtree copies -> 2 (token window + per-type key);
+    the match aggregation runs exchange-free on the window's doc-hash
+    partitioning.
     """
-    gold_spans = extract_spans(tokens, label_col=gold_col).select(
-        "doc_id", "sent_id", "start", "end", "type"
+    sides = tokens.select(
+        "doc_id",
+        "sent_id",
+        "pos",
+        "token",
+        "start",
+        "end",
+        F.explode(
+            F.array(
+                F.struct(F.lit("g").alias("side"), F.col(gold_col).alias("lab")),
+                F.struct(F.lit("p").alias("side"), F.col(pred_col).alias("lab")),
+            )
+        ).alias("_sl"),
+    ).select(
+        "doc_id",
+        "sent_id",
+        "pos",
+        "token",
+        "start",
+        "end",
+        F.col("_sl.side").alias("_side"),
+        F.col("_sl.lab").alias("_lab"),
     )
-    pred_spans = extract_spans(tokens, label_col=pred_col).select(
-        "doc_id", "sent_id", "start", "end", "type"
+    spans = extract_spans(sides, label_col="_lab", extra_keys=("_side",)).select(
+        "doc_id", "sent_id", "start", "end", "type", "_side"
     )
-    g = gold_spans.withColumn("_g", F.lit(1))
-    p = pred_spans.withColumn("_p", F.lit(1))
-    matched = g.join(p, ["doc_id", "sent_id", "start", "end", "type"], "full_outer")
-    per_type = matched.groupBy("type").agg(
-        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("_g").isNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
+    matched = spans.groupBy("doc_id", "sent_id", "start", "end", "type").agg(
+        F.max(F.col("_side") == "g").alias("_g"),
+        F.max(F.col("_side") == "p").alias("_p"),
     )
-    overall = matched.agg(
-        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("tp"),
-        F.sum(F.when(F.col("_g").isNull() & F.col("_p").isNotNull(), 1).otherwise(0)).alias("fp"),
-        F.sum(F.when(F.col("_g").isNotNull() & F.col("_p").isNull(), 1).otherwise(0)).alias("fn"),
-    ).select(F.lit("ALL").alias("type"), "tp", "fp", "fn")
-    counts = per_type.unionByName(overall)
+    # per-type AND the 'ALL' grand total from ONE rollup aggregation —
+    # a separate overall branch (groupBy + union, or agg over per_type)
+    # duplicates the whole extraction subtree in the plan and re-runs
+    # every window/aggregation above the shuffle twice (measured: the
+    # two-branch shape was SLOWER than the r6 double-extraction).
+    # `type` is never NULL (tag_type of a non-O label), so the NULL
+    # grouping row is unambiguously the grand total.  Edge contract:
+    # on a corpus with zero gold AND zero pred spans this returns an
+    # EMPTY frame (the old shape returned one ALL row with NULL
+    # counts); span-bearing input is byte-identical (oracle-checked).
+    counts = matched.rollup("type").agg(
+        F.sum(F.when(F.col("_g") & F.col("_p"), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when(~F.col("_g") & F.col("_p"), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when(F.col("_g") & ~F.col("_p"), 1).otherwise(0)).alias("fn"),
+    ).withColumn("type", F.coalesce(F.col("type"), F.lit("ALL")))
     tp, fp, fn = F.col("tp"), F.col("fp"), F.col("fn")
     precision, recall, f1 = _prf(tp, fp, fn)
     return counts.select(

@@ -393,7 +393,14 @@ def q_simhash(spark, sf_dir):
 
     docs = _docs(spark, sf_dir)
     sig = simhash(docs, bits=32).localCheckpoint()
-    nd = simhash_near_dedup(docs, bits=32, max_hamming=1, signatures=sig)
+    # all_docs from the materialized signatures (r7): the final inner
+    # join on sig drops signature-less docs anyway, so re-scanning the
+    # corpus (+ a distinct exchange) for the doc universe changed
+    # nothing about this query's output — one row per signed doc either
+    # way, values identical (oracle-checked).
+    nd = simhash_near_dedup(
+        docs, bits=32, max_hamming=1, signatures=sig, all_docs=sig.select("doc_id")
+    )
     return sig.join(nd, "doc_id").select("doc_id", "simhash", "component", "keep")
 
 

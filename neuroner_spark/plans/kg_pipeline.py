@@ -181,11 +181,15 @@ def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> Data
     ``connected_components`` over the same-as edges (same min-id
     semantics, oracle-checked)."""
     spark = alias_dict.sparkSession
-    rows = alias_dict.select("alias_norm", "entity_id").limit(small_threshold + 1).collect()
+    # Arrow toPandas, not collect() (r7): the row-collect path on this
+    # probe measured ~0.55 s against ~0.24 s for the Arrow transfer —
+    # pure driver/serialization latency on a dictionary-sized frame
+    # (guide: Arrow for driver transfers).
+    rows = alias_dict.select("alias_norm", "entity_id").limit(small_threshold + 1).toPandas()
     if len(rows) <= small_threshold:
         groups: dict[str, set[int]] = {}
-        for r in rows:
-            groups.setdefault(r["alias_norm"], set()).add(int(r["entity_id"]))
+        for an, eid in zip(rows["alias_norm"], rows["entity_id"]):
+            groups.setdefault(an, set()).add(int(eid))
         parent: dict[int, int] = {}
 
         def find(x: int) -> int:
@@ -208,7 +212,7 @@ def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> Data
         for node in list(parent):
             r = find(node)
             comp_min[r] = min(comp_min.get(r, node), node)
-        all_ids = sorted({int(r["entity_id"]) for r in rows})
+        all_ids = sorted({int(e) for e in rows["entity_id"]})
         mapping = [
             (eid, comp_min[find(eid)] if eid in parent else eid) for eid in all_ids
         ]
@@ -440,6 +444,20 @@ def triples_from_linked(
         pinned.append(m)
     else:
         m = m.localCheckpoint()
+    # ONE doc-keyed exchange over the materialized frame (r7):
+    # localCheckpoint erases partitioning metadata (the physical plan
+    # reads back UnknownPartitioning), so without this every branch
+    # below re-exchanged independently — measured 9 Exchanges for this
+    # stage at sf0.1.  hash(doc_id) satisfies the clustering of every
+    # downstream key here ((doc_id, sent_id) pair joins, the
+    # (doc_id, subj, obj) aggregation, the (doc_id, ent) distinct and
+    # the doc_id co-occurrence joins — the joins additionally need
+    # requireAllClusterKeysForCoPartition=false, set in session.py),
+    # and identical branch copies of this exchange reuse one shuffle.
+    # Skew contract unchanged: the co-occurrence branch already
+    # shuffled on doc_id alone, per-doc work is page-bounded and
+    # capped by max_entities_per_doc.
+    m = m.repartition("doc_id")
     a = m.select("doc_id", "sent_id", F.col("pos").alias("pos_a"), F.col("ent").alias("subj"))
     b = m.select("doc_id", "sent_id", F.col("pos").alias("pos_b"), F.col("ent").alias("obj"))
     sent_pairs = a.join(b, ["doc_id", "sent_id"]).filter(F.col("subj") < F.col("obj"))

@@ -41,6 +41,15 @@ def get_spark(
         # explicit max_df/max_bucket/max_entities_per_doc caps, which
         # bound SEMANTIC blowup — this bounds physical partition skew)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # accept subset-key co-partitioning for joins (r7): a frame
+        # hash-partitioned on doc_id alone then joined on
+        # (doc_id, sent_id) no longer re-exchanges both sides — the
+        # default (true) inserted a second full shuffle on top of
+        # every deliberately doc-keyed layout (kg triples, linking).
+        # Physical-plan-only knob: results are unaffected; the skew
+        # trade (coarser partitioning at the join) is the same one the
+        # explicit doc-keyed repartitions already make.
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
