@@ -185,12 +185,13 @@ def sentences_from_tokens(tokens: DataFrame, n_partitions: int | None = None) ->
     into exactly this many partitions BEFORE the aggregation — the
     groupBy's required clustering is then already satisfied, so the
     whole sentence assembly runs on ONE exchange and its output stays
-    at ``n_partitions``, balanced per-sentence (sentences of a huge doc
-    spread across all partitions — the same skew guarantee the old
-    separate salted repartition in ``tag_tokens`` provided, minus its
-    second full shuffle of the assembled arrays).  collect_list has no
-    real map-side combine, so shuffling raw tokens instead of partial
-    lists moves the same bytes."""
+    at ``n_partitions``, balanced per-sentence.  NOTE: ``tag_tokens``
+    deliberately does NOT use this (r7 measurement): the fused shape
+    shuffles every raw token row, while groupBy-then-repartition ships
+    partial-collect_list-compacted rows through the first shuffle and
+    only assembled arrays through the second — consistently faster at
+    sf0.1.  The knob remains for callers whose token stream is already
+    compact."""
     if n_partitions is not None:
         tokens = tokens.repartition(n_partitions, "doc_id", "sent_id")
     return (

@@ -141,7 +141,12 @@ def ngram_jaccard_pairs(
     (components + keep-one, linear in cluster size) when the goal is
     the deduplicated corpus rather than the pair list.
     """
-    sh = shingles(docs, n, id_col, text_col, fast_hash).cache()
+    # localCheckpoint, not cache() (r7): the shingle frame branches 3x
+    # (df-counts, semi-join probe, sizes); eager checkpoint blocks read
+    # back without the columnar-cache encode/decode and without the
+    # first-consumer materialization race — measured 1.62 -> 1.25 s at
+    # sf0.1.  Same pinned-storage footprint as the cache it replaces.
+    sh = shingles(docs, n, id_col, text_col, fast_hash).localCheckpoint()
     df_counts = sh.groupBy("shingle_hash").agg(F.count("*").alias("df"))
     sh_f = sh.join(df_counts.filter(F.col("df") <= max_df), "shingle_hash", "left_semi")
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))

@@ -165,6 +165,14 @@ def pagerank(
             iteration_log.append(entry)
         if delta is not None and delta < tol:
             break
+    # release the static graph frames (r7): the returned rank frame is
+    # already materialized (persisted+counted or checkpointed), so the
+    # edge/node/degree caches pinned for the loop are dead weight after
+    # return — without this every pagerank() call leaked three
+    # persisted frames for the session's lifetime.
+    e.unpersist(False)
+    nodes.unpersist(False)
+    out_deg.unpersist(False)
     return ranks
 
 
