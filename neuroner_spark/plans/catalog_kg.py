@@ -44,6 +44,8 @@ ALIAS_DICT = [
 def _aliases(spark):
     from pyspark.sql import types as T
 
+    from neuroner_spark.io import local_df
+
     schema = T.StructType(
         [
             T.StructField("alias", T.StringType(), False),
@@ -53,7 +55,11 @@ def _aliases(spark):
             T.StructField("prior", T.DoubleType(), False),
         ]
     )
-    return spark.createDataFrame(ALIAS_DICT, schema)
+    # local_df (r7): the dictionary is consumed as a broadcast side and
+    # a driver probe in the same query — a LocalRelation keeps both off
+    # the Python-RDD evaluation path (one ~0.3 s worker spin-up per
+    # broadcast build / collect at local[32])
+    return local_df(spark, ALIAS_DICT, schema)
 
 
 # r6 typed-verb whitelist fixture: raw dictionary types for the 11
@@ -81,7 +87,9 @@ VERB_TYPE_CONSTRAINTS = [
 
 
 def _entity_types(spark):
-    return spark.createDataFrame(ENTITY_TYPES, "entity_id long, entity_type string")
+    from neuroner_spark.io import local_df
+
+    return local_df(spark, ENTITY_TYPES, "entity_id long, entity_type string")
 
 
 def _alias_values_cte() -> str:
@@ -462,7 +470,10 @@ def q_er_quality(spark, sf_dir):
     )
     pw = pairwise_prf(c.select("id", "pred"), c.select("id", "gold"), id_col="id")
     bc = bcubed_prf(c.select("id", "pred"), c.select("id", "gold"), id_col="id")
-    return spark.createDataFrame(
+    from neuroner_spark.io import local_df
+
+    return local_df(
+        spark,
         [
             (
                 round(pw["precision"], 6),

@@ -580,8 +580,10 @@ def run_incremental_snapshot(
     if prior_paths:
         corpus_banded = spark.read.parquet(*prior_paths)
     else:
-        corpus_banded = spark.createDataFrame(
-            [], "doc_id long, band_id int, band_hash long"
+        from neuroner_spark.io import local_df
+
+        corpus_banded = local_df(
+            spark, [], "doc_id long, band_id int, band_hash long"
         )
     # persist (NOT localCheckpoint): a long-lived driver runs this per
     # micro-batch, and per-call checkpoint blocks have no releasable

@@ -44,7 +44,9 @@ _ALIAS_SCHEMA = T.StructType(
 
 
 def builtin_alias_dict(spark: SparkSession) -> DataFrame:
-    return spark.createDataFrame(_BUILTIN_ALIASES, _ALIAS_SCHEMA)
+    from neuroner_spark.io import local_df
+
+    return local_df(spark, _BUILTIN_ALIASES, _ALIAS_SCHEMA)
 
 
 def mentions_from_documents(spark: SparkSession, docs: DataFrame, alias_dict: DataFrame | None = None) -> DataFrame:

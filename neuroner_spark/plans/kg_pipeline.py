@@ -216,8 +216,13 @@ def canonical_map(alias_dict: DataFrame, small_threshold: int = 100_000) -> Data
         mapping = [
             (eid, comp_min[find(eid)] if eid in parent else eid) for eid in all_ids
         ]
-        comp = spark.createDataFrame(
-            mapping or [(None, None)], "entity_id long, canonical_id long"
+        # local_df (r7): the mapping is broadcast-joined by every
+        # triples caller — a LocalRelation build keeps the broadcast
+        # off the Python-RDD evaluation path (~0.3 s/build at local[32])
+        from neuroner_spark.io import local_df
+
+        comp = local_df(
+            spark, mapping or [(None, None)], "entity_id long, canonical_id long"
         ).filter(F.col("entity_id").isNotNull())
         return F.broadcast(comp)  # bounded by small_threshold — safe to ship
     # pragma: no cover - exercised via connected_components oracle
@@ -368,8 +373,10 @@ def verb_triples_from_mentions(
     if type_constraints is not None:
         cons = type_constraints
         if not isinstance(cons, DataFrame):
-            cons = m.sparkSession.createDataFrame(
-                list(cons), "vtok string, subj_type string, obj_type string"
+            from neuroner_spark.io import local_df
+
+            cons = local_df(
+                m.sparkSession, list(cons), "vtok string, subj_type string, obj_type string"
             )
         else:
             # by NAME, not position — a caller's (subj_type, pred,
@@ -739,7 +746,9 @@ def run_incremental_canonical(
     if prior_snaps:
         prior = spark.read.parquet(prior_snaps[-1][1])
     else:
-        prior = spark.createDataFrame([], "entity_id long, canonical_id long")
+        from neuroner_spark.io import local_df
+
+        prior = local_df(spark, [], "entity_id long, canonical_id long")
     out = merge_canonical_snapshots(prior, new_edges)
     map_dir = os.path.join(map_root, f"snapshot={snapshot_id}")
     sup_dir = os.path.join(store_dir, "superseded", f"snapshot={snapshot_id}")
@@ -848,7 +857,9 @@ def _resolved_superseded(spark: SparkSession, canon_store: str) -> DataFrame | N
         return x
 
     resolved = [(o, final(o)) for o in nxt]
-    return spark.createDataFrame(resolved, "old_canonical_id long, canonical_id long")
+    from neuroner_spark.io import local_df
+
+    return local_df(spark, resolved, "old_canonical_id long, canonical_id long")
 
 
 def read_kg_triples(spark: SparkSession, store_dir: str) -> DataFrame:
@@ -1016,7 +1027,9 @@ def run_incremental_aliases(
     if prior_snaps:
         prior = spark.read.parquet(prior_snaps[-1][1])
     else:
-        prior = spark.createDataFrame([], "alias_norm string, min_entity long")
+        from neuroner_spark.io import local_df
+
+        prior = local_df(spark, [], "alias_norm string, min_entity long")
     batch = (
         alias_increment.select("alias_norm", F.col("entity_id").cast("long"))
         .groupBy("alias_norm")

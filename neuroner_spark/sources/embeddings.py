@@ -45,7 +45,9 @@ def vocab_embedding_matrix(
         probe_keys.add(tok.lower())
         probe_keys.add(re.sub(r"\d", "0", tok.lower()))
     spark = emb_df.sparkSession
-    keys_df = spark.createDataFrame([(k,) for k in probe_keys], "token string")
+    from neuroner_spark.io import local_df
+
+    keys_df = local_df(spark, [(k,) for k in probe_keys], "token string")
     # dropDuplicates: real GloVe files contain duplicate token lines —
     # keep one row per token so the O(vocab) bound below is exact
     pruned = emb_df.join(F.broadcast(keys_df), "token", "left_semi").dropDuplicates(["token"])
