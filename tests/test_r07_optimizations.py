@@ -128,3 +128,75 @@ def test_match_mentions_single_window_longest_and_containment(spark):
         (1, 2, "sort merge"),
         (2, 2, "merge sort"),
     }
+
+
+def test_local_df_localrelation_and_parity(spark):
+    """io.local_df must plan a LocalRelation (isLocal) and return the
+    same rows/schema as the classic list createDataFrame — including
+    the empty-frame and None-row shapes the callers rely on."""
+    import pandas as pd
+
+    from neuroner_spark.io import _ddl_field_names, local_df
+
+    rows = [("a", 1, 0.5), ("b", 2, None)]
+    ddl = "name string, n long, score double"
+    got = local_df(spark, rows, ddl)
+    ref = spark.createDataFrame(rows, ddl)
+    assert got.isLocal()
+    assert got.schema == ref.schema
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, ref.collect()))
+    # canonical_map's fallback shape: all-None row filtered by caller
+    nn = local_df(spark, [(None, None)], "entity_id long, canonical_id long")
+    assert nn.filter(F.col("entity_id").isNotNull()).count() == 0
+    # empty frame with schema
+    empty = local_df(spark, [], "doc_id long, band_id int, band_hash long")
+    assert empty.count() == 0
+    assert empty.schema.simpleString() == "struct<doc_id:bigint,band_id:int,band_hash:bigint>"
+    # pandas passthrough
+    pdf = pd.DataFrame({"x": [1, 2], "y": ["u", "v"]})
+    assert sorted(map(tuple, local_df(spark, pdf, "x long, y string").collect())) == [
+        (1, "u"),
+        (2, "v"),
+    ]
+    # nested-type DDL name parsing must not split on inner commas
+    assert _ddl_field_names("cell int, centroid array<double>, m map<string,int>") == [
+        "cell",
+        "centroid",
+        "m",
+    ]
+
+
+def test_tokenize_ascii_vector_path_parity(spark):
+    """The r7 batch-vectorized ASCII tokenizer path must emit exactly
+    the reference ``tokenize_text`` rows — across edge chars, empty
+    strings, None texts, multi-sentence docs, and the non-ASCII docs
+    that route to the fallback loop in the same batch."""
+    import random
+
+    from neuroner_spark.functions.tokenize import tokenize, tokenize_text
+
+    random.seed(7)
+    alphabet = "ab Z9_ .!?,-\t\n\x0b~`'\"()<>[]{}:;/\\|@#$%^&*+="
+    docs = []
+    for i in range(60):
+        docs.append((str(i), "".join(random.choice(alphabet) for _ in range(random.randrange(0, 150)))))
+    docs += [
+        ("e0", ""),
+        ("e1", None),
+        ("e2", "One. Two! Three? four"),
+        ("u0", "café naïve résumé. 中文!"),  # non-ASCII fallback
+        ("u1", "mixed ascii then € euro."),
+        ("a0", "".join(chr(c) for c in range(1, 128))),  # full ASCII coverage
+    ]
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    got = {}
+    for r in tokenize(df).collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["sent_id"], r["pos"], r["token"], r["start"], r["end"])
+        )
+    for doc_id, text in docs:
+        if text is None:
+            assert doc_id not in got
+            continue
+        ref = tokenize_text(text)
+        assert sorted(got.get(doc_id, [])) == sorted(ref), doc_id
