@@ -41,8 +41,10 @@ def predict(spark: SparkSession, texts: str | list[str], bundle: dict, use_crf: 
     """
     if isinstance(texts, str):
         texts = [texts]
-    docs = spark.createDataFrame(
-        [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
+    from neuroner_spark.io import local_df
+
+    docs = local_df(
+        spark, [(str(i), t) for i, t in enumerate(texts)], "doc_id string, text string"
     ).select("doc_id", normalize_whitespace(F.col("text")).alias("text"))
     tokens = tokenize(docs)
     tagged = tag_tokens(spark, tokens, bundle, use_crf=use_crf)
